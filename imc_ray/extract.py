@@ -1,0 +1,276 @@
+"""Page synthesis, text extraction and track parsing (SURVEY.md §2.1/§2.2).
+
+Input model per BASELINE.json input_hint:
+    pages(url, warc_ts, html, text, lang)
+with trajectories embedded in ``text`` as TRACK lines (FIXTURES.md §A grammar):
+
+    TRACK <k>: <lat>,<lon>,<iso_ts>; <lat>,<lon>,<iso_ts>; ...
+
+Everything is a pure function of ``(seed, doc_index)`` — same bytes for any
+Ray parallelism, batch size or run (never wall-clock, never global RNG).
+
+The reference synthesized trajectories with a TrajectoryMaker-style module and
+read its own trajectory files; this generator replaces it with the graft's
+web-page shape (SURVEY §2.1 SRC3).  ``extract_text`` replaces an HTML
+extractor: the generator and extractor are exact inverses, so the per-url
+byte-identical invariant holds by construction and is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+from . import geom
+
+# corpus-wide projection anchor (M4) — graft-normative constant
+ANCHOR_LAT = 37.0
+ANCHOR_LON = -122.0
+_EPOCH = datetime(2024, 1, 1)
+
+# site grid: sites spaced ~2.2 km apart so coarse cells separate them
+_SITE_STEP_DEG = 0.02
+_SITE_COLS = 53
+
+_WORDS = (
+    "indoor map corridor sensor trace walk floor building survey page web "
+    "crawl archive data pipeline cluster segment route signal beacon"
+).split()
+
+
+def _site_anchor(site: int):
+    lat0 = ANCHOR_LAT + (site % _SITE_COLS) * _SITE_STEP_DEG
+    lon0 = ANCHOR_LON + (site // _SITE_COLS) * _SITE_STEP_DEG
+    return lat0, lon0
+
+
+# corridor graph per site (local meters): an H corridor and a V corridor
+_ROUTES = (
+    ((0.0, 0.0), (80.0, 0.0)),
+    ((80.0, 0.0), (0.0, 0.0)),
+    ((0.0, 0.0), (40.0, 0.0), (40.0, 60.0)),
+    ((40.0, 60.0), (40.0, 0.0), (80.0, 0.0)),
+)
+
+
+def _walk_route(rng: np.random.Generator, route) -> np.ndarray:
+    """Sample points along a route polyline with ~constant step + noise."""
+    wp = np.asarray(route, dtype=np.float64)
+    d = np.diff(wp, axis=0)
+    seg_len = np.hypot(d[:, 0], d[:, 1])
+    total = float(seg_len.sum())
+    step = 2.5 + rng.random() * 2.0  # 2.5..4.5 m → ≤ ~56 points
+    s = np.arange(0.0, total + 1e-9, step)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    k = np.clip(np.searchsorted(cum, s, side="right") - 1, 0, len(seg_len) - 1)
+    f = (s - cum[k]) / np.maximum(seg_len[k], 1e-12)
+    pts = wp[k] + d[k] * f[:, None]
+    pts = pts + rng.normal(0.0, 0.8, size=pts.shape)
+    return pts
+
+
+def make_doc(idx: int, seed: int = 42, n_sites: int = 20) -> dict:
+    """One deterministic page row.  ~10% duplicate urls (idx%10==9 clones the
+    previous doc with a later warc_ts — dedup D1 fodder), ~30% zero tracks,
+    ~2% malformed TRACK lines the parser must skip."""
+    if idx % 10 == 9 and idx > 0:
+        base = make_doc(idx - 1, seed, n_sites)
+        base["warc_ts"] = _EPOCH + timedelta(minutes=idx)
+        return base
+    rng = np.random.Generator(np.random.PCG64(seed * (1 << 20) + idx))
+    site = int(rng.integers(0, n_sites))
+    lat0, lon0 = _site_anchor(site)
+    lang = ("en", "en", "en", "de", "es", "zh")[idx % 6]
+    url = f"https://example.org/site{site}/page{idx}"
+    n_words = int(rng.integers(8, 30))
+    prose = " ".join(_WORDS[int(w)] for w in rng.integers(0, len(_WORDS), n_words))
+    lines = [prose]
+    if rng.random() >= 0.3:
+        n_tracks = int(rng.integers(1, 4))
+        t0 = _EPOCH + timedelta(minutes=idx)
+        for k in range(n_tracks):
+            route = _ROUTES[int(rng.integers(0, len(_ROUTES)))]
+            pts = _walk_route(rng, route)
+            lat, lon = geom.unproject_xy(pts[:, 0], pts[:, 1], lat0, lon0)
+            parts = []
+            for p in range(len(lat)):
+                ts = (t0 + timedelta(seconds=p)).strftime("%Y-%m-%dT%H:%M:%S")
+                parts.append(f"{lat[p]:.6f},{lon[p]:.6f},{ts}")
+            line = f"TRACK {k}: " + "; ".join(parts)
+            if rng.random() < 0.02:
+                line = line.replace(",", "", 1)  # malformed: parser skips it
+            lines.append(line)
+    text = "\n".join(lines)
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(minutes=idx),
+        "html": render_html(text),
+        "text": text,
+        "lang": lang,
+    }
+
+
+# ---------------------------------------------------------------------------
+# HTML render / extract (M1) — exact inverses, byte-identical per url
+# ---------------------------------------------------------------------------
+
+def _escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _unescape(s: str) -> str:
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+def render_html(text: str) -> bytes:
+    body = "".join(f"<p>{_escape(line)}</p>" for line in text.split("\n"))
+    return (f"<html><body>{body}</body></html>").encode("utf-8")
+
+
+_P_RE = re.compile(r"<p>(.*?)</p>")
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic HTML → text: one line per <p>, entities decoded.
+    Byte-identical per url across runs and batch sizes (the north-rule
+    invariant, BASELINE.json input_hint)."""
+    s = html.decode("utf-8", errors="replace")
+    return "\n".join(_unescape(m) for m in _P_RE.findall(s))
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """M1 as a stateless map_batches body (pyarrow in/out, SURVEY §2.2)."""
+    texts = [extract_text(h.as_py()) for h in batch["html"]]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "text": pa.array(texts, type=pa.large_string()),
+            "lang": batch["lang"],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Track parsing (M2) → points with projected x/y
+# ---------------------------------------------------------------------------
+
+_TRACK_RE = re.compile(r"^TRACK (\d+): (.+)$")
+_PT_RE = re.compile(
+    r"^(-?\d+\.\d{6}),(-?\d+\.\d{6}),(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})$"
+)
+
+
+def parse_tracks(url: str, text: str):
+    """Parse TRACK lines → list of (traj_id, lat[], lon[], ts[]).  A line with
+    any malformed point is skipped entirely (deterministic).  Tracks need ≥ 2
+    valid points."""
+    out = []
+    for line in text.split("\n"):
+        m = _TRACK_RE.match(line)
+        if not m:
+            continue
+        k, rest = m.group(1), m.group(2)
+        lats, lons, tss = [], [], []
+        ok = True
+        for piece in rest.split("; "):
+            pm = _PT_RE.match(piece)
+            if not pm:
+                ok = False
+                break
+            lats.append(float(pm.group(1)))
+            lons.append(float(pm.group(2)))
+            tss.append(np.datetime64(pm.group(3), "us"))
+        if ok and len(lats) >= 2:
+            out.append((f"{url}#{k}", np.asarray(lats), np.asarray(lons),
+                        np.asarray(tss)))
+    return out
+
+
+def parse_tracks_batch(batch: pa.Table) -> pa.Table:
+    """M2+M4 fused: pages text → exploded points with projected planar meters.
+    Emits the POINTS schema; ``seq`` preserves per-trajectory order explicitly
+    (Ray Data block order is never relied on — SURVEY §2.10)."""
+    traj_ids, seqs, xs, ys, ts = [], [], [], [], []
+    urls = batch["url"].to_pylist()
+    texts = batch["text"].to_pylist()
+    for url, text in zip(urls, texts):
+        for traj_id, lat, lon, tss in parse_tracks(url, text):
+            x, y = geom.project_xy(lat, lon, ANCHOR_LAT, ANCHOR_LON)
+            traj_ids.append(np.full(len(x), traj_id, dtype=object))
+            seqs.append(np.arange(len(x), dtype=np.int32))
+            xs.append(x)
+            ys.append(y)
+            ts.append(tss)
+    if not traj_ids:
+        return pa.table(
+            {
+                "traj_id": pa.array([], type=pa.string()),
+                "seq": pa.array([], type=pa.int32()),
+                "x": pa.array([], type=pa.float64()),
+                "y": pa.array([], type=pa.float64()),
+                "t": pa.array([], type=pa.timestamp("us")),
+            }
+        )
+    return pa.table(
+        {
+            "traj_id": pa.array(np.concatenate(traj_ids).tolist(), type=pa.string()),
+            "seq": pa.array(np.concatenate(seqs), type=pa.int32()),
+            "x": pa.array(np.concatenate(xs), type=pa.float64()),
+            "y": pa.array(np.concatenate(ys), type=pa.float64()),
+            "t": pa.array(np.concatenate(ts), type=pa.timestamp("us")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pages-table constructors
+# ---------------------------------------------------------------------------
+
+def synth_pages_table(n_docs: int, seed: int = 42, start: int = 0,
+                      n_sites: int = 20) -> pa.Table:
+    """Materialize pages [start, start+n_docs) as one Arrow table — the
+    per-batch body of the distributed generator (stages.synth_pages)."""
+    rows = [make_doc(i, seed, n_sites) for i in range(start, start + n_docs)]
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], type=pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+            "text": pa.array([r["text"] for r in rows], type=pa.large_string()),
+            "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        }
+    )
+
+
+def pages_from_documents_batch(batch: pa.Table, seed: int = 42,
+                               n_sites: int = 20) -> pa.Table:
+    """Build pages rows from the driver's ``documents`` table (TESTDATA.md):
+    each document becomes a crawled page whose text is the document text plus
+    deterministic TRACK lines derived from ``doc_id`` — ties entry()/bench to
+    /root/testdata without external data."""
+    doc_ids = batch["doc_id"].to_pylist()
+    doc_texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, wts, htmls, texts = [], [], [], []
+    for doc_id, dtext, src in zip(doc_ids, doc_texts, sources):
+        synth = make_doc(int(doc_id), seed, n_sites)
+        # prose from the real document (single line), tracks from the generator
+        track_lines = synth["text"].split("\n")[1:]
+        text = "\n".join([dtext.replace("\n", " ")] + track_lines)
+        urls.append(f"https://docs.example/{src}/{doc_id}")
+        wts.append(_EPOCH + timedelta(minutes=int(doc_id)))
+        htmls.append(render_html(text))
+        texts.append(text)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(wts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.large_string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
