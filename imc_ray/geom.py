@@ -211,7 +211,13 @@ def seg_distance_block(A: np.ndarray, B: np.ndarray,
     b = [B[:, k][None, :] for k in range(4)]
     alen = np.hypot(a[2] - a[0], a[3] - a[1])
     blen = np.hypot(b[2] - b[0], b[3] - b[1])
-    a_base = alen >= blen
+    # deterministic symmetric base choice: longer segment is the base; exact
+    # length ties (common after split_long_segments) break on coordinate
+    # lexicographic order so d(A,B) == d(B,A) bit-for-bit in any array order
+    tie = alen == blen
+    gt = (a[0] > b[0]) | ((a[0] == b[0]) & ((a[1] > b[1]) | ((a[1] == b[1]) & (
+        (a[2] > b[2]) | ((a[2] == b[2]) & (a[3] >= b[3]))))))
+    a_base = (alen > blen) | (tie & gt)
 
     pa_, pr_, an_ = _components(a[0], a[1], a[2], a[3], b[0], b[1], b[2], b[3])
     pb_, rb_, ab_ = _components(b[0], b[1], b[2], b[3], a[0], a[1], a[2], a[3])
@@ -463,6 +469,11 @@ def representative(segs: np.ndarray, seg_ids: np.ndarray, min_lns: int,
     segs = np.asarray(segs, dtype=np.float64)
     if len(segs) == 0:
         return np.empty((0, 2))
+    # sort members by seg_id so every float reduction below has a fixed
+    # operand order regardless of shuffle/block order (SURVEY §4.5)
+    order = np.argsort(np.asarray(seg_ids), kind="stable")
+    segs = segs[order]
+    seg_ids = np.asarray(seg_ids)[order]
     anchor = segs[int(np.argmin(seg_ids))]
     adir = np.array([anchor[2] - anchor[0], anchor[3] - anchor[1]])
     vecs = np.stack([segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1]], axis=1)

@@ -1,0 +1,98 @@
+"""Flagship pipeline composition (SURVEY.md §3.2).
+
+    pages → dedup (D1) → extract (M1/M3) → segments (M2/M4/M5/M6 fused)
+          → CellEncoder actor pool (S1) → telemetry/salting (A2)
+          → halo replication → (cell,salt) groupby DBSCAN (C1/C2)
+          → link merge + cardinality (C3/C4) → representatives (C5)
+          → corridor polygons (C6)
+    pages → points (M2/M4) → occupancy tiles (A4) → raster↔vector join (J3)
+
+Ray is never initialised here — the driver / bench / test fixture owns the
+session.  With ``cfg.ckpt_root`` set, every materialized stage checkpoints
+with a lineage manifest and a rerun resumes from the last complete stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from . import ckpt, stages
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+
+def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = ""):
+    if cfg.ckpt_root:
+        return ckpt.checkpoint_stage(
+            ds, cfg.ckpt_root, cfg.run_id, stage, cfg.config_hash(), upstream
+        )
+    return ds
+
+
+def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Run the full map-construction pipeline; returns a dict with the
+    output Datasets / DataFrames:
+
+    ``segments`` (Dataset), ``labels`` (DataFrame), ``representatives``
+    (DataFrame), ``polygons`` (DataFrame), ``tiles`` (Dataset),
+    ``tile_cluster`` (Dataset), ``telemetry`` (DataFrame).
+    """
+    deduped = stages.dedup_pages(pages)
+    extracted = stages.extract_pages(deduped, cfg)
+    extracted = _maybe_ckpt(extracted, cfg, "extracted")
+
+    segments = stages.build_segments(extracted, cfg)
+    segments = stages.encode_cells(segments, cfg)
+    segments = _maybe_ckpt(segments, cfg, "segments", upstream="extracted")
+    # Keep the segment set pinned: it feeds telemetry, the keyed shuffle and
+    # label assignment (small relative to pages — SURVEY §4.2).
+    segments = segments.materialize()
+
+    telemetry = stages.cell_telemetry(segments)
+    salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
+
+    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg)
+    keyed = keyed.materialize()  # reused by DBSCAN phase 1 + phase 2
+
+    core_df = stages.dbscan_phase1(keyed, cfg)
+    links = stages.dbscan_phase2(keyed, core_df, cfg)
+    labels = stages.merge_labels(links, cfg)
+
+    labeled = stages.assign_labels(segments, labels)
+    reps_ds = stages.build_representatives(labeled, cfg)
+    polys_ds = stages.build_polygons(reps_ds, cfg)
+    # polygon set is one row per cluster — small; pull to the driver for the
+    # broadcast side of the raster↔vector join
+    reps = reps_ds.to_pandas()
+    polys = polys_ds.to_pandas()
+
+    points = stages.parse_points(extracted)
+    tiles = stages.build_tiles(points, cfg)
+    tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream="extracted")
+
+    tile_cluster = stages.spatial_join(tiles, polys, cfg)
+    tile_cluster = _maybe_ckpt(tile_cluster, cfg, "tile_cluster", upstream="tiles")
+
+    return {
+        "segments": segments,
+        "labels": labels[["seg_id", "cluster_id"]].reset_index(drop=True),
+        "representatives": reps,
+        "polygons": polys,
+        "tiles": tiles,
+        "tile_cluster": tile_cluster,
+        "telemetry": telemetry,
+    }
+
+
+def full_labels(result: dict) -> pd.DataFrame:
+    """Labels for EVERY segment (noise = -1), sorted by seg_id — the
+    exact-match comparison surface vs the oracle (tests/test_golden.py)."""
+    seg_ids = result["segments"].select_columns(["seg_id"]).to_pandas()
+    lab = result["labels"].copy()
+    # nullable Int64 keeps 64-bit ids exact through the left join (a float64
+    # NaN-fill would round ids beyond 2^53)
+    lab["cluster_id"] = lab["cluster_id"].astype("Int64")
+    out = seg_ids.merge(lab, on="seg_id", how="left")
+    out["cluster_id"] = out["cluster_id"].fillna(-1).astype(np.int64)
+    return out.sort_values("seg_id").reset_index(drop=True)

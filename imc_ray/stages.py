@@ -1,0 +1,732 @@
+"""Ray Data stages of the flagship pipeline (SURVEY.md §3.2).
+
+Every stage is a ``Dataset → Dataset`` transform built from ``map_batches`` /
+``groupby`` over zero-copy Arrow batches; stateful stages are actor pools.
+The geometry semantics live in :mod:`imc_ray.geom` — shared with the
+single-node oracle so distributed output matches it exactly.
+
+Scale notes (the 100 TB story, per stage):
+
+* pages never carry ``html`` past extraction; dedup shuffles only
+  (url, warc_ts) partials, not page bodies.
+* trajectories never shuffle: a page's tracks are parsed and MDL-partitioned
+  inside one batch (points of one trajectory are born contiguous), so the
+  first wide exchange is over *segments* — orders of magnitude smaller than
+  raw points.
+* the DBSCAN shuffle is keyed by (Morton cell, salt); hot cells are split by
+  salted repartitioning driven by a partition-size telemetry pass; halo
+  replication makes every ε-neighborhood locally complete (SURVEY §4.4).
+* small sides (salt map, core flags, relabel map, polygon set) are broadcast
+  once via ``ray.put`` and read from the local object store in every task —
+  never re-shipped per batch.  At 10^12-row scale the core-flag/relabel
+  broadcasts would become hash joins on seg_id; documented at each site.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from . import extract, geom
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+_MAX_SALT = 64  # salt fans a hot cell into ≤ 64 buckets; gkey = cell*64 + salt
+
+
+# ---------------------------------------------------------------------------
+# Sources (SRC1-3)
+# ---------------------------------------------------------------------------
+
+def read_pages(path: str, columns=None) -> ray.data.Dataset:
+    """SRC1 — column-pruned parquet read of a pages corpus."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def read_table(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    """SRC2 — one star-schema table from the driver corpus."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def synth_pages(n_docs: int, seed: int = 42, n_sites: int = 20,
+                override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """SRC3 — distributed deterministic pages generator: ``range(n)`` ids →
+    per-batch synthesis.  Pure function of (seed, id): identical bytes at any
+    parallelism."""
+    ds = ray.data.range(n_docs, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rows = [extract.make_doc(int(i), seed, n_sites) for i in ids]
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], type=pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                    type=pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+                "text": pa.array([r["text"] for r in rows], type=pa.large_string()),
+                "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def pages_from_documents(sf_dir: str, seed: int = 42,
+                         n_sites: int = 20) -> ray.data.Dataset:
+    """Pages corpus derived deterministically from the driver's ``documents``
+    table (TESTDATA.md) — ties entry()/bench to /root/testdata."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ds.map_batches(
+        lambda b: extract.pages_from_documents_batch(b, seed, n_sites),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 exact dedup — aggregate + broadcast semi-join (no page-body shuffle)
+# ---------------------------------------------------------------------------
+
+def dedup_pages(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep the first crawl (min warc_ts) per url.
+
+    Shuffles only (url, warc_ts) through the groupby; the wide ``html`` rows
+    are filtered in place by a broadcast min-ts map (ray.put once, local
+    object-store read per task).  Assumes (url, warc_ts) pairs are unique —
+    true of the corpus contract.  At 10^12 urls the broadcast becomes a
+    native hash join on url instead (Dataset.join); same semantics."""
+    mins = (
+        ds.select_columns(["url", "warc_ts"])
+        .groupby("url")
+        .aggregate(Min("warc_ts", alias_name="min_ts"))
+    )
+    min_df = mins.to_pandas()
+    ref = ray.put(dict(zip(min_df["url"], min_df["min_ts"])))
+
+    def keep_first(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        urls = batch["url"].to_pylist()
+        ts = batch["warc_ts"].to_pandas()
+        mask = np.array([m[u] == t for u, t in zip(urls, ts)], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M1 extract + M3 lang filter
+# ---------------------------------------------------------------------------
+
+def extract_pages(ds: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                  verify_invariant: bool = False) -> ray.data.Dataset:
+    """html → text (byte-identical per url), drop ``html`` immediately, keep
+    configured languages.  ``verify_invariant`` asserts extracted text equals
+    the crawler-provided ``text`` column per row (the north-rule invariant)."""
+    langs = set(cfg.langs) if cfg.langs else None
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = extract.extract_text_batch(batch)
+        if verify_invariant and "text" in batch.column_names:
+            want = batch["text"].to_pylist()
+            got = out["text"].to_pylist()
+            for u, w, g in zip(out["url"].to_pylist(), want, got):
+                if w != g:
+                    raise AssertionError(f"extract_text not byte-identical for {u}")
+        if langs is not None:
+            mask = pa.array([l in langs for l in out["lang"].to_pylist()])
+            out = out.filter(mask)
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M2+M4 points (for the occupancy grid) and fused M5+M6 segments
+# ---------------------------------------------------------------------------
+
+def parse_points(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Extracted pages → exploded POINTS rows (feeds A4 tiles)."""
+    return ds.map_batches(extract.parse_tracks_batch, batch_format="pyarrow")
+
+
+def _segments_from_text_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Fused parse → clean → MDL → split → seg features for one batch.
+
+    No trajectory shuffle: every trajectory is complete inside its page row,
+    so MDL runs where the data is born (SURVEY §3.2 note — this removes
+    shuffle #1 of the naive plan)."""
+    pts_tbl = extract.parse_tracks_batch(batch)
+    if pts_tbl.num_rows == 0:
+        return _empty_segments()
+    df = pts_tbl.to_pandas()
+    out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
+    for traj_id, g in df.groupby("traj_id", sort=True):
+        g = g.sort_values("seq", kind="stable")
+        pts = g[["x", "y"]].to_numpy(dtype=np.float64)
+        if len(pts) >= 2:
+            keep = np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0.0, axis=1)])
+            pts = pts[keep]
+        if len(pts) < 2:
+            continue
+        cps = geom.mdl_partition(pts, cfg.mdl_clamp)
+        raw = np.column_stack(
+            [pts[cps[:-1], 0], pts[cps[:-1], 1], pts[cps[1:], 0], pts[cps[1:], 1]]
+        )
+        split, parent, part = geom.split_long_segments(raw, cfg.max_seg_len)
+        names = [f"{traj_id}#{int(parent[i])}#{int(part[i])}" for i in range(len(split))]
+        out["seg_id"].append(geom.stable_hash64(names))
+        out["traj_id"].append(np.full(len(split), traj_id, dtype=object))
+        out["x1"].append(split[:, 0])
+        out["y1"].append(split[:, 1])
+        out["x2"].append(split[:, 2])
+        out["y2"].append(split[:, 3])
+    if not out["seg_id"]:
+        return _empty_segments()
+    cols = {k: np.concatenate(v) for k, v in out.items()}
+    seg_len = np.hypot(cols["x2"] - cols["x1"], cols["y2"] - cols["y1"])
+    angle = np.arctan2(cols["y2"] - cols["y1"], cols["x2"] - cols["x1"])
+    return pa.table(
+        {
+            "seg_id": pa.array(cols["seg_id"], type=pa.int64()),
+            "traj_id": pa.array(cols["traj_id"].tolist(), type=pa.string()),
+            "x1": pa.array(cols["x1"], type=pa.float64()),
+            "y1": pa.array(cols["y1"], type=pa.float64()),
+            "x2": pa.array(cols["x2"], type=pa.float64()),
+            "y2": pa.array(cols["y2"], type=pa.float64()),
+            "seg_len": pa.array(seg_len, type=pa.float64()),
+            "angle": pa.array(angle, type=pa.float64()),
+        }
+    )
+
+
+def _empty_segments() -> pa.Table:
+    return pa.table(
+        {
+            "seg_id": pa.array([], type=pa.int64()),
+            "traj_id": pa.array([], type=pa.string()),
+            "x1": pa.array([], type=pa.float64()),
+            "y1": pa.array([], type=pa.float64()),
+            "x2": pa.array([], type=pa.float64()),
+            "y2": pa.array([], type=pa.float64()),
+            "seg_len": pa.array([], type=pa.float64()),
+            "angle": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def build_segments(extracted: ray.data.Dataset,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    return extracted.map_batches(
+        lambda b: _segments_from_text_batch(b, cfg), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 CellEncoder — stateful actor pool (grid spec held per actor)
+# ---------------------------------------------------------------------------
+
+class CellEncoder:
+    """Batched Morton-cell encoding of segment midpoints (SURVEY §2.3 S1).
+
+    Actor-pool stage: the grid spec is constructed once per actor in
+    ``__init__`` and reused per batch (the reference held this as module
+    state in one process)."""
+
+    def __init__(self, cell_size: float):
+        self.cell_size = float(cell_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mx = (batch["x1"].to_numpy() + batch["x2"].to_numpy()) * 0.5
+        my = (batch["y1"].to_numpy() + batch["y2"].to_numpy()) * 0.5
+        cell = geom.cell_id(mx, my, self.cell_size)
+        return batch.append_column("cell", pa.array(cell, type=pa.int64()))
+
+
+def encode_cells(segments: ray.data.Dataset,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    return segments.map_batches(
+        CellEncoder,
+        fn_constructor_args=(cfg.coarse_cell,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.actor_pool,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 partition-size telemetry → salt map (skew handling, SURVEY §4.3)
+# ---------------------------------------------------------------------------
+
+def cell_telemetry(segments_with_cell: ray.data.Dataset) -> pd.DataFrame:
+    """Per-cell segment counts — drives salting and is recorded as metrics."""
+    t = (
+        segments_with_cell.select_columns(["cell"])
+        .groupby("cell")
+        .aggregate(Count(alias_name="n_segs"))
+    )
+    return t.to_pandas()
+
+
+def salt_map_from_telemetry(telemetry: pd.DataFrame, salt_cap: int) -> dict:
+    """cell → number of salt buckets (>1 only for hot cells)."""
+    hot = telemetry[telemetry["n_segs"] > salt_cap]
+    return {
+        int(c): int(min(int(np.ceil(n / salt_cap)), _MAX_SALT))
+        for c, n in zip(hot["cell"], hot["n_segs"])
+    }
+
+
+# ---------------------------------------------------------------------------
+# Halo replication → keyed segments for the DBSCAN shuffle (SURVEY §4.4)
+# ---------------------------------------------------------------------------
+
+def replicate_for_dbscan(segments: ray.data.Dataset, salt_map: dict,
+                         cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Replicate each segment into every (cell, salt) bucket whose cell square
+    is within 2M of its midpoint, M = cfg.halo (neighbor-midpoint bound).
+
+    A bucket therefore contains every segment whose ε-neighborhood (TRACLUS
+    distance) can involve one of its home segments; core flags for home
+    segments are exact (proof sketch: SURVEY §4.4, validated by
+    tests/test_invariance.py).  ``is_home`` marks the single bucket that owns
+    each segment (its own cell and salt-of-seg_id)."""
+    salt_ref = ray.put(salt_map)
+    cell_size = cfg.coarse_cell
+    radius = 2.0 * cfg.halo
+
+    def f(batch: pa.Table) -> pa.Table:
+        salts = ray.get(salt_ref)
+        n = batch.num_rows
+        if n == 0:
+            return _empty_keyed(batch)
+        mx = (batch["x1"].to_numpy() + batch["x2"].to_numpy()) * 0.5
+        my = (batch["y1"].to_numpy() + batch["y2"].to_numpy()) * 0.5
+        home = batch["cell"].to_numpy()
+        seg_id = batch["seg_id"].to_numpy()
+        rows, bcell = geom.cells_within(mx, my, radius, cell_size)
+        k = np.array([salts.get(int(c), 1) for c in bcell], dtype=np.int64)
+        tot = int(k.sum())
+        rep = np.repeat(np.arange(len(rows)), k)
+        start = np.concatenate([[0], np.cumsum(k)])[:-1]
+        salt = np.arange(tot) - np.repeat(start, k)
+        rrows = rows[rep]
+        rcell = bcell[rep]
+        is_home = (rcell == home[rrows]) & (salt == (seg_id[rrows] % k[rep]))
+        out = batch.take(pa.array(rrows, type=pa.int64()))
+        out = out.append_column("bcell", pa.array(rcell, type=pa.int64()))
+        out = out.append_column("salt", pa.array(salt, type=pa.int64()))
+        out = out.append_column("is_home", pa.array(is_home, type=pa.bool_()))
+        gkey = rcell * _MAX_SALT + salt
+        out = out.append_column("gkey", pa.array(gkey, type=pa.int64()))
+        return out
+
+    return segments.map_batches(f, batch_format="pyarrow")
+
+
+def _empty_keyed(batch: pa.Table) -> pa.Table:
+    out = batch
+    for name, typ in (
+        ("bcell", pa.int64()), ("salt", pa.int64()),
+        ("is_home", pa.bool_()), ("gkey", pa.int64()),
+    ):
+        out = out.append_column(name, pa.array([], type=typ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C2 distributed DBSCAN — phase 1 (core flags) + phase 2 (links), then
+# C3 merge + C4 cardinality (driver union-find over the thin link set)
+# ---------------------------------------------------------------------------
+
+def _group_arrays(g: pd.DataFrame):
+    segs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+    return segs, g["seg_id"].to_numpy(), g["is_home"].to_numpy(dtype=bool)
+
+
+def dbscan_phase1(keyed: ray.data.Dataset,
+                  cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Per (cell,salt) bucket: exact ε-neighborhood counts for HOME segments
+    (their full neighborhood is present by the replication invariant) →
+    (seg_id, is_core).  Work for a hot cell is split across its salt buckets;
+    each bucket computes only home × all distances."""
+    eps, min_lns = cfg.eps, cfg.min_lns
+    w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        segs, seg_ids, is_home = _group_arrays(g)
+        hidx = np.nonzero(is_home)[0]
+        if len(hidx) == 0:
+            return pd.DataFrame({"seg_id": [], "is_core": []}).astype(
+                {"seg_id": "int64", "is_core": "bool"}
+            )
+        core, _ = geom.core_flags(segs, eps, min_lns, w, query_idx=hidx)
+        return pd.DataFrame({"seg_id": seg_ids[hidx], "is_core": core})
+
+    out = keyed.groupby("gkey").map_groups(f, batch_format="pandas")
+    return out.to_pandas()
+
+
+def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
+                  cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Per bucket, using globally-known core flags (broadcast): emit
+
+      kind=0 rows (seg_id → local component rep) for every node of the local
+             core-graph restricted to edges incident to home cores, and
+      kind=1 rows (home border seg → rep of an ε-adjacent core's component).
+
+    Every global core-core ε-edge appears in its endpoints' home buckets, so
+    the union of local components over all buckets is exactly the global
+    core-graph connectivity (SURVEY §4.4).  Volume is linear in replicated
+    cores, not quadratic in edges.
+
+    At 10^12 scale the core-flag broadcast becomes a hash join on seg_id;
+    here it is a ray.put dict read once per task from the local store."""
+    eps, min_lns = cfg.eps, cfg.min_lns
+    w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
+    core_ref = ray.put(dict(zip(core_flags_df["seg_id"].astype(np.int64),
+                                core_flags_df["is_core"].astype(bool))))
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(core_ref)
+        segs, seg_ids, is_home = _group_arrays(g)
+        traj = g["traj_id"].to_numpy()
+        hidx = np.nonzero(is_home)[0]
+        empty = pd.DataFrame(
+            {"seg_id": pd.Series(dtype="int64"),
+             "traj_id": pd.Series(dtype="object"),
+             "kind": pd.Series(dtype="int64"),
+             "ref": pd.Series(dtype="int64")}
+        )
+        if len(hidx) == 0:
+            return empty
+        is_core = np.array([cmap.get(int(s), False) for s in seg_ids], dtype=bool)
+        home_core = hidx[is_core[hidx]]
+        home_border = hidx[~is_core[hidx]]
+        rows = {"seg_id": [], "traj_id": [], "kind": [], "ref": []}
+        uf = geom.UnionFind()
+        nodes = set()
+        chunk = 1024
+        # local components over edges incident to home cores
+        for s in range(0, len(home_core), chunk):
+            q = home_core[s:s + chunk]
+            D = geom.seg_distance_block(segs[q], segs, w)
+            for r_loc, h in enumerate(q):
+                nodes.add(int(seg_ids[h]))
+                nbr = np.nonzero((D[r_loc] <= eps) & is_core)[0]
+                for c in nbr:
+                    if c != h:
+                        nodes.add(int(seg_ids[c]))
+                        uf.union(int(seg_ids[h]), int(seg_ids[c]))
+        comp_rep: dict = {}
+        for nd in nodes:
+            root = uf.find(nd)
+            comp_rep[root] = min(comp_rep.get(root, nd), nd)
+        sid_to_idx = {int(s): i for i, s in enumerate(seg_ids)}
+        for nd in sorted(nodes):
+            i = sid_to_idx[nd]
+            rows["seg_id"].append(nd)
+            rows["traj_id"].append(traj[i])
+            rows["kind"].append(0)
+            rows["ref"].append(comp_rep[uf.find(nd)])
+        # borders: home non-core with ≥1 core ε-neighbor
+        for s in range(0, len(home_border), chunk):
+            q = home_border[s:s + chunk]
+            D = geom.seg_distance_block(segs[q], segs, w)
+            for r_loc, b in enumerate(q):
+                nbr = np.nonzero((D[r_loc] <= eps) & is_core)[0]
+                refs = set()
+                for c in nbr:
+                    if c != b:
+                        cid = int(seg_ids[c])
+                        refs.add(comp_rep.get(uf.find(cid), cid))
+                for ref_id in sorted(refs):
+                    rows["seg_id"].append(int(seg_ids[b]))
+                    rows["traj_id"].append(traj[b])
+                    rows["kind"].append(1)
+                    rows["ref"].append(ref_id)
+        if not rows["seg_id"]:
+            return empty
+        return pd.DataFrame(rows).astype(
+            {"seg_id": "int64", "kind": "int64", "ref": "int64"}
+        )
+
+    out = keyed.groupby("gkey").map_groups(f, batch_format="pandas")
+    return out.to_pandas()
+
+
+def merge_labels(links: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """C3+C4 on the driver: union-find over the thin link set → canonical
+    labels (min member seg_id) → trajectory-cardinality filter.
+
+    Matches :func:`imc_ray.geom.dbscan_segments` semantics exactly.  The link
+    set is linear in (replicated) core segments — at the north-star scale this
+    becomes iterative min-label propagation via groupby (documented), the
+    semantics are identical."""
+    if len(links) == 0:
+        return pd.DataFrame({"seg_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64"),
+                             "traj_id": pd.Series(dtype="object")})
+    uf = geom.UnionFind()
+    core_rows = links[links["kind"] == 0]
+    for s, r in zip(core_rows["seg_id"], core_rows["ref"]):
+        uf.union(int(s), int(r))
+    # canonical component id = min core seg_id in component
+    canon: dict = {}
+    for s in core_rows["seg_id"]:
+        root = uf.find(int(s))
+        canon[root] = min(canon.get(root, int(s)), int(s))
+    members = {}
+    traj_of = {}
+    for s, t in zip(core_rows["seg_id"], core_rows["traj_id"]):
+        members[int(s)] = canon[uf.find(int(s))]
+        traj_of[int(s)] = t
+    # borders: min canonical component over all ε-adjacent core components
+    # (a seg is either core or border globally, never both)
+    border_rows = links[links["kind"] == 1]
+    for s, r, t in zip(border_rows["seg_id"], border_rows["ref"], border_rows["traj_id"]):
+        lbl = canon[uf.find(int(r))]
+        si = int(s)
+        members[si] = min(members[si], lbl) if si in members else lbl
+        traj_of[si] = t
+    df = pd.DataFrame(
+        {
+            "seg_id": np.fromiter(members.keys(), dtype=np.int64, count=len(members)),
+            "cluster_id": np.fromiter(members.values(), dtype=np.int64, count=len(members)),
+        }
+    )
+    df["traj_id"] = [traj_of[int(s)] for s in df["seg_id"]]
+    # canonicalize to min member seg_id (borders included), then cardinality
+    lab = df["cluster_id"].to_numpy()
+    lab = geom.canonicalize_labels(lab, df["seg_id"].to_numpy())
+    lab = geom.cardinality_filter(lab, df["traj_id"].to_numpy(), cfg.min_lns)
+    df["cluster_id"] = lab
+    return df[df["cluster_id"] >= 0][["seg_id", "cluster_id", "traj_id"]]
+
+
+def assign_labels(segments: ray.data.Dataset, labels_df: pd.DataFrame) -> ray.data.Dataset:
+    """Broadcast the relabel map and attach ``cluster_id`` to every segment
+    (noise → -1).  Broadcast once via ray.put; at north-star scale this is a
+    hash join on seg_id."""
+    ref = ray.put(dict(zip(labels_df["seg_id"].astype(np.int64),
+                           labels_df["cluster_id"].astype(np.int64))))
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        sid = batch["seg_id"].to_numpy()
+        lab = np.array([m.get(int(s), -1) for s in sid], dtype=np.int64)
+        return batch.append_column("cluster_id", pa.array(lab, type=pa.int64()))
+
+    return segments.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C5 representatives + C6 polygons
+# ---------------------------------------------------------------------------
+
+def build_representatives(labeled_segments: ray.data.Dataset,
+                          cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """groupby(cluster_id).map_groups sweep line (clusters are memory-bounded
+    by the cell region — SURVEY §7.4-4)."""
+    min_lns, gamma = cfg.min_lns, cfg.gamma
+
+    def rep_fn(g: pa.Table) -> pa.Table:
+        cid = int(g["cluster_id"][0].as_py())
+        segs = np.column_stack([g[c].to_numpy() for c in ("x1", "y1", "x2", "y2")])
+        sids = g["seg_id"].to_numpy()
+        rep = geom.representative(segs, sids, min_lns, gamma)
+        import pandas as _pd
+
+        n_trajs = int(_pd.Series(g["traj_id"].to_pylist()).nunique())
+        from .schemas import XY_STRUCT
+
+        return pa.table(
+            {
+                "cluster_id": pa.array([cid], type=pa.int64()),
+                "rep": pa.array(
+                    [[{"x": float(x), "y": float(y)} for x, y in rep]],
+                    type=pa.list_(XY_STRUCT),
+                ),
+                "n_segs": pa.array([g.num_rows], type=pa.int64()),
+                "n_trajs": pa.array([n_trajs], type=pa.int64()),
+            }
+        )
+
+    clustered = labeled_segments.filter(lambda r: r["cluster_id"] >= 0)
+    return clustered.groupby("cluster_id").map_groups(rep_fn, batch_format="pyarrow")
+
+
+def build_polygons(reps: ray.data.Dataset,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    hw, ml = cfg.corridor_halfwidth, cfg.miter_limit
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .schemas import XY_STRUCT
+
+        cids, rings = [], []
+        for cid, rep in zip(batch["cluster_id"].to_pylist(), batch["rep"].to_pylist()):
+            line = np.asarray([[p["x"], p["y"]] for p in rep], dtype=np.float64)
+            if len(line) < 2:
+                continue
+            ring = geom.buffer_polyline(line, hw, ml)
+            cids.append(cid)
+            rings.append([{"x": float(x), "y": float(y)} for x, y in ring])
+        return pa.table(
+            {
+                "cluster_id": pa.array(cids, type=pa.int64()),
+                "ring": pa.array(rings, type=pa.list_(XY_STRUCT)),
+            }
+        )
+
+    return reps.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A4 occupancy tiles — partial aggregation before the shuffle
+# ---------------------------------------------------------------------------
+
+def build_tiles(points: ray.data.Dataset,
+                cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Points → per-batch partial tile counts → tiny groupby sum → decode i,j.
+    The shuffle moves one row per (batch, tile), not one per point."""
+    tile_size = cfg.tile_size
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"tile_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        tid = geom.cell_id(batch["x"].to_numpy(), batch["y"].to_numpy(), tile_size)
+        uniq, counts = np.unique(tid, return_counts=True)
+        return pa.table({"tile_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = (
+        points.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(Sum("n", alias_name="occupancy"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_numpy()
+        i, j, _, _ = geom.cell_decode(tid, tile_size)
+        return pa.table(
+            {
+                "tile_id": pa.array(tid, type=pa.int64()),
+                "i": pa.array(i, type=pa.int64()),
+                "j": pa.array(j, type=pa.int64()),
+                "occupancy": pa.array(batch["occupancy"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J3 spatial join — STRtree actor pool over broadcast polygons (S2+S3)
+# ---------------------------------------------------------------------------
+
+class TileJoiner:
+    """Stateful actor: builds an STRtree over the (broadcast) corridor-polygon
+    set once in ``__init__``, then batch point-in-polygon joins tiles against
+    it (SURVEY §2.3 S2/S3, §2.5 J3).  The polygon side is small (one row per
+    cluster) — broadcast via ray.put, never re-shipped per batch."""
+
+    def __init__(self, polys_ref, tile_size: float):
+        polys = ray.get(polys_ref)  # list of (cluster_id, ring ndarray)
+        self.tile_size = float(tile_size)
+        self.cids = np.array([c for c, _ in polys], dtype=np.int64)
+        self.rings = [r for _, r in polys]
+        if self.rings:
+            boxes = np.asarray(
+                [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+                 for r in self.rings]
+            )
+            self.tree = geom.STRtree(boxes)
+        else:
+            self.tree = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_t, out_c, out_f = [], [], []
+        if self.tree is not None and batch.num_rows:
+            tid = batch["tile_id"].to_numpy()
+            s = self.tile_size
+            _, _, x0, y0 = geom.cell_decode(tid, s)
+            for k in range(len(tid)):
+                cand = self.tree.query(x0[k], y0[k], x0[k] + s, y0[k] + s)
+                if len(cand) == 0:
+                    continue
+                sx = np.array([x0[k], x0[k] + s, x0[k] + s, x0[k], x0[k] + s / 2])
+                sy = np.array([y0[k], y0[k], y0[k] + s, y0[k] + s, y0[k] + s / 2])
+                for c in cand:
+                    frac = float(geom.points_in_ring(sx, sy, self.rings[c]).sum()) / 5.0
+                    if frac > 0:
+                        out_t.append(int(tid[k]))
+                        out_c.append(int(self.cids[c]))
+                        out_f.append(frac)
+        return pa.table(
+            {
+                "tile_id": pa.array(out_t, type=pa.int64()),
+                "cluster_id": pa.array(out_c, type=pa.int64()),
+                "frac": pa.array(out_f, type=pa.float64()),
+            }
+        )
+
+
+def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    polys = []
+    for _, r in polygons_df.iterrows():
+        ring = np.asarray([[p["x"], p["y"]] for p in r["ring"]], dtype=np.float64)
+        polys.append((int(r["cluster_id"]), ring))
+    ref = ray.put(polys)
+    return tiles.map_batches(
+        TileJoiner,
+        fn_constructor_args=(ref, cfg.tile_size),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.actor_pool,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 kNN join — segment-Hausdorff top-k via the same cell+halo machinery
+# ---------------------------------------------------------------------------
+
+def knn_join(keyed: ray.data.Dataset, k: int,
+             cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Top-k nearest segments (segment-Hausdorff) for every home segment among
+    all segments within the replication radius 2M — candidates are complete
+    within that radius by the replication invariant; true global kNN when the
+    k-th neighbor lies within 2M (the partitioning assumption, documented per
+    SURVEY §2.5 J4)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        segs, seg_ids, is_home = _group_arrays(g)
+        hidx = np.nonzero(is_home)[0]
+        rows = {"seg_id": [], "nbr_id": [], "rank": [], "dist": []}
+        chunk = 512
+        for s in range(0, len(hidx), chunk):
+            q = hidx[s:s + chunk]
+            D = geom.hausdorff_block(segs[q], segs)
+            for r_loc, h in enumerate(q):
+                d = D[r_loc].copy()
+                d[h] = np.inf  # exclude self
+                order = np.lexsort((seg_ids, d))[: k]
+                for rank, j in enumerate(order):
+                    if np.isfinite(d[j]):
+                        rows["seg_id"].append(int(seg_ids[h]))
+                        rows["nbr_id"].append(int(seg_ids[j]))
+                        rows["rank"].append(rank)
+                        rows["dist"].append(float(d[j]))
+        return pd.DataFrame(rows).astype(
+            {"seg_id": "int64", "nbr_id": "int64", "rank": "int64", "dist": "float64"}
+        ) if rows["seg_id"] else pd.DataFrame(
+            {"seg_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int64"), "dist": pd.Series(dtype="float64")}
+        )
+
+    return keyed.groupby("gkey").map_groups(f, batch_format="pandas")
