@@ -627,27 +627,27 @@ class STRtree:
     def __init__(self, boxes: np.ndarray, cap: int = 16):
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)  # x0,y0,x1,y1
         self.n = len(boxes)
-        self.levels = []  # each: (boxes (k,4), child_start (k,), child_end (k,))
+        self.cap = cap
+        # levels[0] = entry boxes in STR order (node k ↔ original leaf_ids[k]);
+        # levels[L>=1] = (node_boxes, child_start, child_end) grouping level L-1
+        self.levels: list = []
         if self.n == 0:
             return
         order = self._str_order(boxes, cap)
         self.leaf_ids = order
-        cur = boxes[order]
-        while True:
-            k = len(cur)
+        self.levels.append((boxes[order], None, None))
+        while len(self.levels[-1][0]) > 1:
+            child = self.levels[-1][0]
+            k = len(child)
             n_nodes = (k + cap - 1) // cap
             starts = np.arange(n_nodes) * cap
             ends = np.minimum(starts + cap, k)
             node_boxes = np.empty((n_nodes, 4))
             for t in range(n_nodes):
-                blk = cur[starts[t]:ends[t]]
+                blk = child[starts[t]:ends[t]]
                 node_boxes[t] = [blk[:, 0].min(), blk[:, 1].min(),
                                  blk[:, 2].max(), blk[:, 3].max()]
-            self.levels.append((cur, starts, ends))
-            if n_nodes == 1:
-                self.levels.append((node_boxes, np.array([0]), np.array([len(cur)])))
-                break
-            cur = node_boxes
+            self.levels.append((node_boxes, starts, ends))
 
     @staticmethod
     def _str_order(boxes: np.ndarray, cap: int) -> np.ndarray:
@@ -670,34 +670,23 @@ class STRtree:
         """Original indices of entries whose bbox intersects the query bbox."""
         if self.n == 0:
             return np.empty(0, dtype=np.int64)
-        # descend from root level
         top = len(self.levels) - 1
-        frontier = [(top, 0)]
+        frontier = [(top, node) for node in range(len(self.levels[top][0]))]
         hits = []
         while frontier:
             lvl, node = frontier.pop()
             boxes, starts, ends = self.levels[lvl]
-            if lvl == 0:
-                b = boxes[node]
-                if not (b[0] > qx1 or b[2] < qx0 or b[1] > qy1 or b[3] < qy0):
-                    hits.append(node)
-                continue
             b = boxes[node]
             if b[0] > qx1 or b[2] < qx0 or b[1] > qy1 or b[3] < qy0:
                 continue
-            lo, hi = starts[node], ends[node]
-            child_boxes = self.levels[lvl - 1][0]
-            sub = child_boxes[lo:hi]
-            ok = ~((sub[:, 0] > qx1) | (sub[:, 2] < qx0) |
-                   (sub[:, 1] > qy1) | (sub[:, 3] < qy0))
-            for c in (np.nonzero(ok)[0] + lo):
-                if lvl - 1 == 0:
-                    hits.append(int(c))
-                else:
-                    frontier.append((lvl - 1, int(c)))
+            if lvl == 0:
+                hits.append(node)
+                continue
+            for c in range(int(starts[node]), int(ends[node])):
+                frontier.append((lvl - 1, c))
         if not hits:
             return np.empty(0, dtype=np.int64)
-        return self.leaf_ids[np.asarray(sorted(set(hits)), dtype=np.int64)]
+        return self.leaf_ids[np.asarray(sorted(hits), dtype=np.int64)]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,26 @@
+"""Session-scoped Ray fixture — Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+warnings.filterwarnings("ignore")
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    yield
+    ray.shutdown()

@@ -1,0 +1,91 @@
+"""Distributed engine vs single-node NumPy oracle — exact output equality
+(SURVEY.md §5.2-3/4).  The oracle is the golden reference (empty reference
+checkout, SURVEY §0); labels/representatives/tiles/tile_cluster must match
+bit-for-bit after canonical relabeling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from imc_ray import extract, oracle, pipeline, stages
+from imc_ray.config import PipelineConfig
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def gold():
+    return oracle.run(extract.synth_pages_table(N_DOCS, seed=42))
+
+
+def _gold_labels(gold):
+    return gold["labels"].sort_values("seg_id").reset_index(drop=True)
+
+
+def _assert_match(res, gold):
+    eng = pipeline.full_labels(res)
+    gl = _gold_labels(gold)
+    assert len(eng) == len(gl)
+    m = eng.merge(gl, on="seg_id", suffixes=("_e", "_g"))
+    assert len(m) == len(gl)
+    assert int((m.cluster_id_e != m.cluster_id_g).sum()) == 0
+
+    et = res["tiles"].to_pandas().sort_values("tile_id").reset_index(drop=True)
+    gt = gold["tiles"].sort_values("tile_id").reset_index(drop=True)
+    assert et.astype("int64").equals(gt.astype("int64"))
+
+    etc = (res["tile_cluster"].to_pandas()
+           .sort_values(["tile_id", "cluster_id"]).reset_index(drop=True))
+    gtc = (gold["tile_cluster"]
+           .sort_values(["tile_id", "cluster_id"]).reset_index(drop=True))
+    assert etc.equals(gtc)
+
+    er = res["representatives"].sort_values("cluster_id").reset_index(drop=True)
+    gr = gold["representatives"].sort_values("cluster_id").reset_index(drop=True)
+    assert list(er.cluster_id) == list(gr.cluster_id)
+    for i in range(len(er)):
+        assert list(er.rep.iloc[i]) == list(gr.rep.iloc[i])
+        assert er.n_segs.iloc[i] == gr.n_segs.iloc[i]
+        assert er.n_trajs.iloc[i] == gr.n_trajs.iloc[i]
+
+
+def test_engine_matches_oracle(ray_session, gold):
+    res = pipeline.run(stages.synth_pages(N_DOCS, seed=42), PipelineConfig())
+    _assert_match(res, gold)
+
+
+def test_partition_invariance_small_cells(ray_session, gold):
+    """Same labels when corridors span many cells (64 m) and the input is
+    split into a prime number of blocks — exercises halo replication and
+    cross-cell component merging (SURVEY §4.4 gate)."""
+    cfg = PipelineConfig(coarse_cell=64.0)
+    res = pipeline.run(
+        stages.synth_pages(N_DOCS, seed=42, override_num_blocks=13), cfg
+    )
+    _assert_match_labels_only(res, gold)
+
+
+def test_partition_invariance_salted(ray_session, gold):
+    """Force salting (salt_cap tiny) — a salted hot cell must produce
+    identical labels (SURVEY §4.3 skew handling)."""
+    cfg = PipelineConfig(salt_cap=20)
+    res = pipeline.run(
+        stages.synth_pages(N_DOCS, seed=42, override_num_blocks=7), cfg
+    )
+    assert stages.salt_map_from_telemetry(res["telemetry"], cfg.salt_cap)  # salting active
+    _assert_match_labels_only(res, gold)
+
+
+def test_single_block(ray_session, gold):
+    res = pipeline.run(
+        stages.synth_pages(N_DOCS, seed=42, override_num_blocks=1), PipelineConfig()
+    )
+    _assert_match_labels_only(res, gold)
+
+
+def _assert_match_labels_only(res, gold):
+    eng = pipeline.full_labels(res)
+    gl = _gold_labels(gold)
+    m = eng.merge(gl, on="seg_id", suffixes=("_e", "_g"))
+    assert len(m) == len(gl) == len(eng)
+    assert int((m.cluster_id_e != m.cluster_id_g).sum()) == 0
