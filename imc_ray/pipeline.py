@@ -85,6 +85,19 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     }
 
 
+def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+              k: int = 3) -> ray.data.Dataset:
+    """J4 standalone: segment-Hausdorff kNN join over the cell+halo keyed
+    segments (candidates complete within the replication radius 2M)."""
+    deduped = stages.dedup_pages(pages)
+    extracted = stages.extract_pages(deduped, cfg)
+    segments = stages.encode_cells(stages.build_segments(extracted, cfg), cfg)
+    telemetry = stages.cell_telemetry(segments)
+    salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
+    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg)
+    return stages.knn_join(keyed, k, cfg)
+
+
 def full_labels(result: dict) -> pd.DataFrame:
     """Labels for EVERY segment (noise = -1), sorted by seg_id — the
     exact-match comparison surface vs the oracle (tests/test_golden.py)."""

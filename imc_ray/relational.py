@@ -1,0 +1,399 @@
+"""Relational operator layer over the driver's star-schema corpus
+(SURVEY.md §2.5/§2.6/§2.7/§2.8/§2.9 — J1/J2/J5/J6, A1-A3, O1-O4, D1-D3, F1).
+
+Each public function takes ``sf_dir`` and returns a small pandas DataFrame (or
+Dataset) whose columns are named identically to the matching ``oracle_sql``
+entry in ``__ray_entry__`` so the driver's value-hash compare lines up.
+Float aggregates are rounded (both sides) so summation order cannot flip the
+hash.
+
+Scale pattern notes:
+* big⋈big joins use the native hash-partitioned ``Dataset.join``
+* dims (nation/region/customer at this scale) broadcast via ``ray.put`` and
+  merge inside ``map_batches`` — no shuffle of the big side
+* every aggregate pre-reduces inside ``map_batches`` where Ray's partial
+  aggregation doesn't already do so
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .stages import read_table
+from .util import round_half_away
+
+
+def _r(df: pd.DataFrame, cols, nd: int = 2) -> pd.DataFrame:
+    for c in cols:
+        df[c] = round_half_away(df[c], nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# A2/O1 — TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(np.datetime64("1998-09-01", "us"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc,
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return _r(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+
+
+# ---------------------------------------------------------------------------
+# J1 — native hash join (lineitem ⋈ orders), revenue per order, top-k
+# ---------------------------------------------------------------------------
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    li_rev = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = li_rev.join(orders, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (
+        joined.sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out = out[["l_orderkey", "o_orderpriority", "revenue"]].rename(
+        columns={"l_orderkey": "o_orderkey"}
+    )
+    return _r(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast dimension join: revenue by nation/region
+# ---------------------------------------------------------------------------
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ orders (hash) ⋈ customer ⋈ nation ⋈ region (broadcast dims):
+    revenue per nation.  Dims are ray.put once and merged per batch."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "n_name", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    joined = li_rev.join(orders, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def attach_dim(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                              "r_name": pd.Series(dtype="object"),
+                              "revenue": pd.Series(dtype="float64")})
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return empty
+        d = ray.get(dim_ref)
+        m = df.merge(d, left_on="o_custkey", right_on="c_custkey")
+        # pre-aggregate inside the batch: one row per (nation, region)
+        return (m.groupby(["n_name", "r_name"], as_index=False)["revenue"].sum())
+
+    out = (
+        joined.map_batches(attach_dim, batch_format="pandas")
+        .groupby(["n_name", "r_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return _r(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# M-row filters / projections / sorts / limits (O1-O3)
+# ---------------------------------------------------------------------------
+
+def filter_project_orders(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    return _r(out, ["o_totalprice"])
+
+
+def topk_orders(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return _r(out, ["o_totalprice"])
+
+
+def global_aggs(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    res = ds.aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+    )
+    df = pd.DataFrame([res])
+    return _r(df, ["sum_qty", "min_qty", "max_qty", "avg_price"])
+
+
+def distinct_lang(sf_dir: str) -> pd.DataFrame:
+    langs = read_table(sf_dir, "documents", columns=["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(langs)})
+
+
+def sample_orders_count(sf_dir: str) -> pd.DataFrame:
+    """O4 seeded sample — deterministic row count for a fixed seed (rows-only
+    check; sampling fraction is not SQL-reproducible)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    n = ds.random_sample(0.1, seed=42).count()
+    return pd.DataFrame({"sampled_rows": [n]})
+
+
+# ---------------------------------------------------------------------------
+# D1-D3 — dedup / union / set ops
+# ---------------------------------------------------------------------------
+
+def dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup by content hash: one survivor (min doc_id) per distinct
+    text — hash-partitioned groupby + per-group first (SURVEY §2.8 D1)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pc.hash(t["text"]) if hasattr(pc, "hash") else None
+        if h is None:
+            import hashlib
+
+            h = pa.array(
+                [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                                "big") >> 1
+                 for s in t["text"].to_pylist()],
+                type=pa.int64(),
+            )
+        return t.append_column("h", h)
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    # re-key by doc_id (hash col is engine-internal)
+    return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def union_orders(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    urgent = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))),
+        batch_format="pyarrow",
+    )
+    big = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(350000.0))),
+        batch_format="pyarrow",
+    )
+    out = urgent.union(big).to_pandas()
+    out = out.sort_values(["o_orderkey", "o_orderpriority", "o_totalprice"]).reset_index(drop=True)
+    return _r(out, ["o_totalprice"])
+
+
+_BIG_ORDER = 350000.0
+
+
+def _big_order_custkeys(sf_dir: str) -> set:
+    """Distinct customers holding a 'big' order — the broadcast key set for
+    the semi/anti joins (J6)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    keys = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(_BIG_ORDER))),
+        batch_format="pyarrow",
+    ).unique("o_custkey")
+    return set(int(k) for k in keys)
+
+
+def _key_filter_customers(sf_dir: str, keep_in: bool) -> pd.DataFrame:
+    keys_ref = ray.put(_big_order_custkeys(sf_dir))
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([(int(k) in keys) == keep_in
+                         for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    if out.empty:  # preserve schema on empty results
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def semi_join_customers(sf_dir: str) -> pd.DataFrame:
+    """J6 semi-join: customers with ≥1 big order — broadcast key-set filter."""
+    return _key_filter_customers(sf_dir, True)
+
+
+def anti_join_customers(sf_dir: str) -> pd.DataFrame:
+    """J6 anti-join: customers with no big order."""
+    return _key_filter_customers(sf_dir, False)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.9): dates, JSON, strings, arrays
+# ---------------------------------------------------------------------------
+
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.table({"day": d, "event_type": t["event_type"], "value": t["value"]})
+
+    out = (
+        ds.map_batches(day, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    return _r(out, ["sum_value"])
+
+
+_JSON_K = re.compile(r'"k":\s*(-?\d+)')
+
+
+def json_get_stats(sf_dir: str) -> pd.DataFrame:
+    """F1 json_get: extract props.k → per-event-type stats."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            m = _JSON_K.search(p) if p else None
+            ks.append(int(m.group(1)) if m else None)
+        return pa.table({"event_type": t["event_type"],
+                         "k": pa.array(ks, type=pa.int64())})
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return out
+
+
+def asof_prev_event(sf_dir: str) -> pd.DataFrame:
+    """J5 as-of lookup: each event joined to the user's immediately-previous
+    event timestamp — sort within user groups, shift; events with no
+    predecessor are dropped (null-free compare surface)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["prev_ts"] = g["ts"].shift(1)
+        return g[g["prev_ts"].notna()][["event_id", "prev_ts"]]
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_length_check(sf_dir: str) -> pd.DataFrame:
+    """String scalar fns: recompute n_chars and whitespace token count."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n2 = pc.utf8_length(t["text"])
+        toks = pc.add(pc.count_substring(t["text"], " "), pa.scalar(1))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars2": pc.cast(n2, pa.int64()),
+            "n_tokens": pc.cast(toks, pa.int64()),
+            "len_match": pc.equal(pc.cast(n2, pa.int64()), t["n_chars"]),
+        })
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Array scalar fns over list<float>: L2 norm + sum (dot with ones)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "l2": pa.array(round_half_away(np.sqrt((m * m).astype(np.float64).sum(axis=1)), 4)),
+            "dot_ones": pa.array(round_half_away(m.astype(np.float64).sum(axis=1), 4)),
+            "dim": pa.array(np.full(len(m), m.shape[1], dtype=np.int64)),
+        })
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow").to_pandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )

@@ -1,0 +1,278 @@
+"""Similarity search over the ``embeddings`` table (list<float32>, unit-norm).
+
+* brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix (the scale baseline — queries are ray.put once, read per actor)
+* LSH-bucketed ANN: seeded random-hyperplane signs → bucket groupby → search
+  own + Hamming-1 buckets (the scale path; recall vs brute force is tested)
+* embedding-cosine near-dup: all pairs with cosine ≥ τ via bucket-join
+
+Float discipline: element products are computed in float32 then accumulated
+in float64 — mirrors DuckDB's FLOAT list arithmetic so the oracle hash lines
+up after round(4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .geom import UnionFind
+from .stages import read_table
+from .util import round_half_away
+
+
+def _emb_matrix(t: pa.Table) -> np.ndarray:
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+
+
+def embedding_sums(sf_dir: str) -> pd.DataFrame:
+    """Cosine of every vector against the all-ones direction — SQL-mirrorable
+    (list_sum / (l2 * sqrt(dim))); the brute-force scoring kernel's oracle."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        s = m.astype(np.float64).sum(axis=1)
+        sq = (m * m).astype(np.float64).sum(axis=1)  # float32 squares, f64 sum
+        cos = s / (np.sqrt(sq) * np.sqrt(m.shape[1]))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cos_ones": pa.array(round_half_away(cos, 4)),
+        })
+
+    return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def ann_topk_ones(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k for the all-ones query: per-batch partial
+    top-k (numpy) → tiny global merge.  Only (vec_id, cos) partials leave the
+    tasks — the pattern that holds at 10^9 vectors."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        s = m.astype(np.float64).sum(axis=1)
+        sq = (m * m).astype(np.float64).sum(axis=1)
+        cos = s / (np.sqrt(sq) * np.sqrt(m.shape[1]))
+        vid = t["vec_id"].to_numpy()
+        order = np.lexsort((vid, -cos))[:k]
+        return pa.table({
+            "vec_id": pa.array(vid[order], type=pa.int64()),
+            "cos_ones": pa.array(cos[order]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos_ones", "vec_id"],
+                              ascending=[False, True]).head(k)
+    parts["cos_ones"] = round_half_away(parts["cos_ones"], 4)
+    parts["rank"] = np.arange(len(parts), dtype=np.int64)
+    return parts[["rank", "vec_id", "cos_ones"]].reset_index(drop=True)
+
+
+def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
+    """Brute-force cosine top-k against a broadcast query matrix (the first
+    ``n_queries`` vectors by vec_id).  Self-match excluded.  Rows-only check;
+    exact values verified in tests against a numpy reference."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (ds.sort("vec_id").limit(n_queries).to_pandas())
+    Q = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    qids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qids, Q))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(q_ref)
+        m = _emb_matrix(t)
+        vid = t["vec_id"].to_numpy()
+        # float32 matmul then f64 normalization — batched model-free scoring
+        dots = (m @ Q_.T).astype(np.float64)
+        nm = np.sqrt((m * m).astype(np.float64).sum(axis=1))[:, None]
+        nq = np.sqrt((Q_ * Q_).astype(np.float64).sum(axis=1))[None, :]
+        cos = dots / (nm * nq)
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        for qi in range(len(qids_)):
+            c = cos[:, qi].copy()
+            c[vid == qids_[qi]] = -np.inf
+            order = np.lexsort((vid, -c))[:k]
+            rows["query_id"] += [int(qids_[qi])] * len(order)
+            rows["vec_id"] += [int(v) for v in vid[order]]
+            rows["cos"] += [float(x) for x in c[order]]
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+            "cos": pa.array(rows["cos"]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["cos"] = round_half_away(res["cos"], 4)
+    return res[["query_id", "rank", "vec_id", "cos"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 12
+
+
+def _planes(dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(0, 1, (dim, _N_PLANES)).astype(np.float32)
+
+
+class LshBucketer:
+    """Actor-pool stage: hyperplane matrix built once per actor; emits the
+    bucket id (sign pattern of dot with planes) per vector."""
+
+    def __init__(self, dim: int, seed: int = 42):
+        self.P = _planes(dim, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        signs = (m @ self.P) >= 0
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for b in range(_N_PLANES):
+            bucket |= signs[:, b].astype(np.int64) << b
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
+    """LSH-bucketed ANN: vectors grouped by hyperplane-sign bucket; each query
+    searches its own bucket plus all Hamming-1 neighbor buckets.  Approximate
+    — recall vs brute force asserted ≥ 0.6 in tests (rows-only check)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0])
+    bucketed = ds.map_batches(LshBucketer, fn_constructor_args=(dim,),
+                              batch_format="pyarrow", batch_size=4096,
+                              concurrency=(1, 4), num_cpus=1)
+    qdf = ds.sort("vec_id").limit(n_queries).to_pandas()
+    Q = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    qids = qdf["vec_id"].to_numpy()
+    qsigns = (Q @ _planes(dim)) >= 0
+    qbucket = np.zeros(len(Q), dtype=np.int64)
+    for b in range(_N_PLANES):
+        qbucket |= qsigns[:, b].astype(np.int64) << b
+    # target buckets per query: own + hamming-1
+    targets = {}
+    for qi, qb in enumerate(qbucket):
+        t = {int(qb)} | {int(qb) ^ (1 << b) for b in range(_N_PLANES)}
+        for b in t:
+            targets.setdefault(b, []).append(qi)
+    t_ref = ray.put((qids, Q, targets))
+
+    def search(t: pa.Table) -> pa.Table:
+        qids_, Q_, targets_ = ray.get(t_ref)
+        m = _emb_matrix(t)
+        vid = t["vec_id"].to_numpy()
+        buck = t["bucket"].to_numpy()
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        hit_q = {}
+        for i, b in enumerate(buck):
+            for qi in targets_.get(int(b), ()):
+                hit_q.setdefault(qi, []).append(i)
+        for qi, idxs in hit_q.items():
+            idxs = np.asarray(idxs)
+            sub = m[idxs]
+            dots = (sub @ Q_[qi]).astype(np.float64)
+            nm = np.sqrt((sub * sub).astype(np.float64).sum(axis=1))
+            nq = np.sqrt((Q_[qi] * Q_[qi]).astype(np.float64).sum())
+            cos = dots / (nm * nq)
+            keep = vid[idxs] != qids_[qi]
+            order = np.lexsort((vid[idxs][keep], -cos[keep]))[:k]
+            v = vid[idxs][keep][order]
+            c = cos[keep][order]
+            rows["query_id"] += [int(qids_[qi])] * len(v)
+            rows["vec_id"] += [int(x) for x in v]
+            rows["cos"] += [float(x) for x in c]
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+            "cos": pa.array(rows["cos"]),
+        })
+
+    parts = bucketed.map_batches(search, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        g = (g.sort_values(["cos", "vec_id"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cos"])
+    res = pd.concat(out, ignore_index=True)
+    res["cos"] = round_half_away(res["cos"], 4)
+    return res[["query_id", "rank", "vec_id", "cos"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-dup groups: LSH buckets (own + Hamming-1 overlap
+    via multi-probe emission) → in-bucket pairwise cosine ≥ τ → union-find →
+    (vec_id, dup_group = min member).  One row per vector."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0])
+    P_ref = ray.put(_planes(dim))
+
+    def emit(t: pa.Table) -> pa.Table:
+        P = ray.get(P_ref)
+        m = _emb_matrix(t)
+        vid = t["vec_id"].to_numpy()
+        signs = (m @ P) >= 0
+        base = np.zeros(len(m), dtype=np.int64)
+        for b in range(_N_PLANES):
+            base |= signs[:, b].astype(np.int64) << b
+        # multi-probe: emit each vector into its bucket and Hamming-1 buckets
+        rows_v, rows_b, rows_e = [], [], []
+        emb = t["embedding"].to_pylist()
+        for i in range(len(m)):
+            for b in [int(base[i])] + [int(base[i]) ^ (1 << j)
+                                       for j in range(_N_PLANES)]:
+                rows_v.append(int(vid[i]))
+                rows_b.append(b)
+                rows_e.append(emb[i])
+        return pa.table({
+            "vec_id": pa.array(rows_v, type=pa.int64()),
+            "bucket": pa.array(rows_b, type=pa.int64()),
+            "embedding": pa.array(rows_e, type=pa.list_(pa.float32())),
+        })
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        uniq, first_idx = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        m = np.asarray([g["embedding"].iloc[i] for i in first_idx], dtype=np.float32)
+        dots = (m @ m.T).astype(np.float64)
+        nm = np.sqrt((m * m).astype(np.float64).sum(axis=1))
+        cos = dots / (nm[:, None] * nm[None, :])
+        iu, ju = np.nonzero(np.triu(cos >= tau, k=1))
+        return pd.DataFrame({"a": uniq[iu].astype(np.int64),
+                             "b": uniq[ju].astype(np.int64)})
+
+    pairs = (ds.map_batches(emit, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
+             .to_pandas())
+    if "a" not in pairs.columns:
+        pairs = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+    pairs = pairs.drop_duplicates()
+    uf = UnionFind()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        uf.union(int(a), int(b))
+    all_ids = sorted(int(v) for v in ds.unique("vec_id"))
+    return pd.DataFrame({"vec_id": all_ids,
+                         "dup_group": [uf.find(i) for i in all_ids]})

@@ -11,9 +11,12 @@ warnings.filterwarnings("ignore")
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import logging
+
     import ray
     from ray.data import DataContext
 
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     ray.init(
         address="local",
         num_cpus=4,
