@@ -1,0 +1,141 @@
+"""Benchmark harness (SURVEY.md §3.4, BASELINE.md measurement protocol).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "throughput": {"trajectories_clustered_per_s": ..,
+                    "spatial_join_rows_per_s": ..}}
+
+``--scaling``: runs the same bench twice in fresh subprocesses at 8 and 32
+CPUs on identical input and reports both wall times plus scaling efficiency
+E = (T_8 / T_32) / (32/8) — the sandbox surrogate for the N→4N-node rule
+(BASELINE.json:2; no real cluster available here).
+
+Owns its Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+SYNTH_SITES = int(os.environ.get("GRAFT_BENCH_SITES", "500"))
+
+
+def run_bench() -> dict:
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from imc_ray import pipeline, relational, stages, textops, vector
+    from imc_ray.config import PipelineConfig
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # --- flagship geometry pipeline over the synthetic web corpus ---------
+    cfg = PipelineConfig()
+    t0 = time.time()
+    pages = stages.synth_pages(SYNTH_DOCS, seed=42, n_sites=SYNTH_SITES,
+                               override_num_blocks=max(NUM_CPUS * 4, 32))
+    res = pipeline.run(pages, cfg)
+    n_join_rows = res["tile_cluster"].count()
+    flagship_s = time.time() - t0
+    queries["flagship_synth_pages"] = round(flagship_s, 3)
+    n_trajs = int(
+        res["segments"].to_pandas()["traj_id"].nunique()
+    )
+    throughput["trajectories_clustered_per_s"] = round(n_trajs / flagship_s, 1)
+    throughput["spatial_join_rows_per_s"] = round(n_join_rows / flagship_s, 1)
+    throughput["n_trajectories"] = n_trajs
+    throughput["n_tile_cluster_rows"] = int(n_join_rows)
+    throughput["n_segments"] = int(res["segments"].count())
+
+    # --- flagship over the sf documents-derived corpus ---------------------
+    timed("flagship_docs",
+          lambda: pipeline.run(stages.pages_from_documents(SF_DIR), cfg)
+          ["tile_cluster"].count())
+
+    # --- relational layer over sf tables -----------------------------------
+    timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(SF_DIR))
+    timed("q3_top_orders", lambda: relational.q3_top_orders(SF_DIR))
+    timed("q5_nation_revenue", lambda: relational.q5_nation_revenue(SF_DIR))
+    timed("asof_prev_event", lambda: relational.asof_prev_event(SF_DIR))
+    timed("dedup_documents", lambda: relational.dedup_documents(SF_DIR))
+
+    # --- training-data ops --------------------------------------------------
+    timed("minhash_dedup", lambda: textops.minhash_dedup(SF_DIR))
+    timed("knn_brute_force", lambda: vector.knn_brute_force(SF_DIR))
+    timed("embedding_near_dup", lambda: vector.embedding_near_dup(SF_DIR))
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "imc_ray headline pipelines (flagship TRACLUS + relational + dedup/ANN)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "throughput": throughput,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "synth_docs": SYNTH_DOCS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    run(NUM_CPUS)  # warm the page cache (untimed for comparison purposes)
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 → 32 CPUs, fresh sessions, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "throughput_8": r_lo["throughput"],
+        "throughput_32": r_hi["throughput"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "pass_0.8": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -48,7 +48,8 @@ class PipelineConfig:
 
     # --- execution ---
     batch_size: int = 8192
-    actor_pool: tuple = (2, 8)   # (min, max) actors for stateful stages
+    actor_pool: tuple = (1, 32)  # (min, max) actors for stateful stages —
+                                 # autoscales down on small sessions
     ckpt_root: str | None = None  # per-stage checkpoint dir (SURVEY §4.6); None = off
     run_id: str = "run0"
 

@@ -260,37 +260,68 @@ def mdl_partition(pts: np.ndarray, clamp: float = 1.0) -> np.ndarray:
     n = len(pts)
     if n < 2:
         return np.arange(n)
+    X = pts[:, 0]
+    Y = pts[:, 1]
+    sdx = X[1:] - X[:-1]
+    sdy = Y[1:] - Y[:-1]
+    step_len = np.hypot(sdx, sdy)
+    # cumulative no-partition cost: cost_nopar(i, j) = C[j] - C[i]
+    C = np.concatenate([[0.0], np.cumsum(_log2c(step_len, clamp))])
     cps = [0]
     start = 0
-    length = 1
-    while start + length < n:
-        curr = start + length
-        # candidate hypothesis segment (p_start, p_curr)
-        seg = pts[curr] - pts[start]
-        h_len = float(np.hypot(seg[0], seg[1]))
-        # window steps p_k → p_{k+1}, k in [start, curr)
-        p0 = pts[start:curr]
-        p1 = pts[start + 1:curr + 1]
-        step = p1 - p0
-        step_len = np.hypot(step[:, 0], step[:, 1])
-        cost_nopar = float(np.sum(_log2c(step_len, clamp)))
-        # d_perp / d_ang of each step against the hypothesis segment
-        d_perp, _, d_ang = _components(
-            pts[start, 0], pts[start, 1], pts[curr, 0], pts[curr, 1],
-            p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1],
-        )
-        cost_par = float(
-            _log2c(h_len, clamp)
-            + np.sum(_log2c(d_perp, clamp))
-            + np.sum(_log2c(d_ang, clamp))
-        )
-        if cost_par > cost_nopar and curr - 1 > start:
-            cps.append(curr - 1)
-            start = curr - 1
-            length = 1
-        else:
-            length += 1
-    cps.append(n - 1)
+    # The sequential TRACLUS walk extends curr until the first curr ≥ start+2
+    # with MDL_par(start, curr) > MDL_nopar(start, curr); a violation at
+    # curr = start+1 cannot split (the characteristic point would equal
+    # start) and just extends.  That "first violating curr" is computed here
+    # fully vectorized over all candidate currs per start — identical
+    # decisions to the stepwise walk, ~L× fewer numpy dispatches.
+    while start < n - 1:
+        m = n - start - 1  # candidate hypotheses c = start+1 .. n-1
+        adx = X[start + 1:] - X[start]          # (m,)
+        ady = Y[start + 1:] - Y[start]
+        alen = np.hypot(adx, ady)
+        # steps k = start .. n-2, endpoints relative to p_start
+        p0x = X[start:n - 1] - X[start]          # (m,)
+        p0y = Y[start:n - 1] - Y[start]
+        p1x = p0x + sdx[start:]
+        p1y = p0y + sdy[start:]
+        sl = step_len[start:]
+        inv = 1.0 / np.maximum(alen, 1e-300)
+        l1 = np.abs(p0x[None, :] * ady[:, None] - p0y[None, :] * adx[:, None]) * inv[:, None]
+        l2 = np.abs(p1x[None, :] * ady[:, None] - p1y[None, :] * adx[:, None]) * inv[:, None]
+        denom = l1 + l2
+        d_perp = np.where(denom > 0,
+                          (l1 * l1 + l2 * l2) / np.maximum(denom, 1e-300), 0.0)
+        dot = adx[:, None] * sdx[None, start:] + ady[:, None] * sdy[None, start:]
+        cross = np.abs(adx[:, None] * sdy[None, start:] - ady[:, None] * sdx[None, start:])
+        sin_t = np.minimum(cross / np.maximum(alen[:, None] * sl[None, :], 1e-300), 1.0)
+        d_ang = np.where(dot >= 0, sl[None, :] * sin_t, sl[None, :])
+        degen = alen < 1e-12
+        if degen.any():
+            dp0 = np.hypot(p0x, p0y)
+            dp1 = np.hypot(p1x, p1y)
+            dden = dp0 + dp1
+            dperp_pt = np.where(dden > 0,
+                                (dp0 * dp0 + dp1 * dp1) / np.maximum(dden, 1e-300), 0.0)
+            d_perp[degen] = dperp_pt[None, :]
+            d_ang[degen] = sl[None, :]
+        terms = _log2c(d_perp, clamp) + _log2c(d_ang, clamp)   # (m, m)
+        csum = np.cumsum(terms, axis=1)
+        idx = np.arange(m)
+        cost_par = _log2c(alen, clamp) + csum[idx, idx]  # k in [start, c-1]
+        cost_nopar = C[start + 1 + idx] - C[start]
+        viol = cost_par > cost_nopar
+        viol[0] = False  # curr = start+1 can never split
+        hits = np.nonzero(viol)[0]
+        if len(hits) == 0:
+            cps.append(n - 1)
+            break
+        cp = start + int(hits[0])  # curr - 1
+        cps.append(cp)
+        start = cp
+    else:
+        if cps[-1] != n - 1:
+            cps.append(n - 1)
     return np.asarray(cps, dtype=np.int64)
 
 

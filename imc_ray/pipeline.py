@@ -22,12 +22,18 @@ from . import ckpt, stages
 from .config import DEFAULT_CONFIG, PipelineConfig
 
 
-def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = ""):
+def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = "",
+                pin: bool = False):
+    """Checkpoint the stage to parquet when ckpt_root is set; otherwise, for
+    stages consumed by MULTIPLE downstream branches (``pin=True``),
+    materialize into the object store so the lineage isn't re-executed per
+    consumer.  At production scale the disk checkpoint is the right pin; the
+    object-store pin is the test/bench fast path."""
     if cfg.ckpt_root:
         return ckpt.checkpoint_stage(
             ds, cfg.ckpt_root, cfg.run_id, stage, cfg.config_hash(), upstream
         )
-    return ds
+    return ds.materialize() if pin else ds
 
 
 def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
@@ -38,9 +44,13 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     (DataFrame), ``polygons`` (DataFrame), ``tiles`` (Dataset),
     ``tile_cluster`` (Dataset), ``telemetry`` (DataFrame).
     """
+    # dedup consumes pages twice (min-ts aggregate + filter) — pin it so the
+    # upstream source/generator executes once
+    pages = pages.materialize() if not cfg.ckpt_root else pages
     deduped = stages.dedup_pages(pages)
     extracted = stages.extract_pages(deduped, cfg)
-    extracted = _maybe_ckpt(extracted, cfg, "extracted")
+    # extracted feeds two branches (segments, points/tiles) — pin
+    extracted = _maybe_ckpt(extracted, cfg, "extracted", pin=True)
 
     segments = stages.build_segments(extracted, cfg)
     segments = stages.encode_cells(segments, cfg)

@@ -157,32 +157,30 @@ def _segments_from_text_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
     No trajectory shuffle: every trajectory is complete inside its page row,
     so MDL runs where the data is born (SURVEY §3.2 note — this removes
-    shuffle #1 of the naive plan)."""
-    pts_tbl = extract.parse_tracks_batch(batch)
-    if pts_tbl.num_rows == 0:
-        return _empty_segments()
-    df = pts_tbl.to_pandas()
+    shuffle #1 of the naive plan).  Operates directly on the parser's
+    per-track arrays — no per-row pandas in the hot path."""
     out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
-    for traj_id, g in df.groupby("traj_id", sort=True):
-        g = g.sort_values("seq", kind="stable")
-        pts = g[["x", "y"]].to_numpy(dtype=np.float64)
-        if len(pts) >= 2:
+    for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+        for traj_id, lat, lon, _ts in extract.parse_tracks(url, text):
+            x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
+            pts = np.column_stack([x, y])
             keep = np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0.0, axis=1)])
             pts = pts[keep]
-        if len(pts) < 2:
-            continue
-        cps = geom.mdl_partition(pts, cfg.mdl_clamp)
-        raw = np.column_stack(
-            [pts[cps[:-1], 0], pts[cps[:-1], 1], pts[cps[1:], 0], pts[cps[1:], 1]]
-        )
-        split, parent, part = geom.split_long_segments(raw, cfg.max_seg_len)
-        names = [f"{traj_id}#{int(parent[i])}#{int(part[i])}" for i in range(len(split))]
-        out["seg_id"].append(geom.stable_hash64(names))
-        out["traj_id"].append(np.full(len(split), traj_id, dtype=object))
-        out["x1"].append(split[:, 0])
-        out["y1"].append(split[:, 1])
-        out["x2"].append(split[:, 2])
-        out["y2"].append(split[:, 3])
+            if len(pts) < 2:
+                continue
+            cps = geom.mdl_partition(pts, cfg.mdl_clamp)
+            raw = np.column_stack(
+                [pts[cps[:-1], 0], pts[cps[:-1], 1], pts[cps[1:], 0], pts[cps[1:], 1]]
+            )
+            split, parent, part = geom.split_long_segments(raw, cfg.max_seg_len)
+            names = [f"{traj_id}#{int(parent[i])}#{int(part[i])}"
+                     for i in range(len(split))]
+            out["seg_id"].append(geom.stable_hash64(names))
+            out["traj_id"].append(np.full(len(split), traj_id, dtype=object))
+            out["x1"].append(split[:, 0])
+            out["y1"].append(split[:, 1])
+            out["x2"].append(split[:, 2])
+            out["y2"].append(split[:, 3])
     if not out["seg_id"]:
         return _empty_segments()
     cols = {k: np.concatenate(v) for k, v in out.items()}
@@ -287,16 +285,20 @@ def salt_map_from_telemetry(telemetry: pd.DataFrame, salt_cap: int) -> dict:
 def replicate_for_dbscan(segments: ray.data.Dataset, salt_map: dict,
                          cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """Replicate each segment into every (cell, salt) bucket whose cell square
-    is within 2M of its midpoint, M = cfg.halo (neighbor-midpoint bound).
+    is within M of its midpoint, M = cfg.halo (neighbor-midpoint bound: every
+    ε-neighbor of a home segment has its midpoint within M of the home
+    midpoint, hence within M of the cell).
 
     A bucket therefore contains every segment whose ε-neighborhood (TRACLUS
-    distance) can involve one of its home segments; core flags for home
-    segments are exact (proof sketch: SURVEY §4.4, validated by
-    tests/test_invariance.py).  ``is_home`` marks the single bucket that owns
-    each segment (its own cell and salt-of-seg_id)."""
+    distance) can involve one of its home segments, so home core flags and
+    home-incident core edges are exact (SURVEY §4.4; the two-phase DBSCAN
+    never needs core flags of non-home members locally — they arrive via the
+    phase-1 broadcast).  Validated by the golden/invariance tests.
+    ``is_home`` marks the single bucket that owns each segment (its own cell
+    and salt-of-seg_id)."""
     salt_ref = ray.put(salt_map)
     cell_size = cfg.coarse_cell
-    radius = 2.0 * cfg.halo
+    radius = cfg.halo
 
     def f(batch: pa.Table) -> pa.Table:
         salts = ray.get(salt_ref)
@@ -408,19 +410,20 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
         home_border = hidx[~is_core[hidx]]
         rows = {"seg_id": [], "traj_id": [], "kind": [], "ref": []}
         uf = geom.UnionFind()
-        nodes = set()
+        nodes = set(int(seg_ids[h]) for h in home_core)
         chunk = 1024
-        # local components over edges incident to home cores
+        # local components over edges incident to home cores (vectorized pair
+        # extraction; the union-find walk is the only per-pair Python)
         for s in range(0, len(home_core), chunk):
             q = home_core[s:s + chunk]
             D = geom.seg_distance_block(segs[q], segs, w)
-            for r_loc, h in enumerate(q):
-                nodes.add(int(seg_ids[h]))
-                nbr = np.nonzero((D[r_loc] <= eps) & is_core)[0]
-                for c in nbr:
-                    if c != h:
-                        nodes.add(int(seg_ids[c]))
-                        uf.union(int(seg_ids[h]), int(seg_ids[c]))
+            ii, jj = np.nonzero((D <= eps) & is_core[None, :])
+            hs = seg_ids[q[ii]]
+            cs = seg_ids[jj]
+            for h_id, c_id in zip(hs.tolist(), cs.tolist()):
+                if h_id != c_id:
+                    nodes.add(int(c_id))
+                    uf.union(int(h_id), int(c_id))
         comp_rep: dict = {}
         for nd in nodes:
             root = uf.find(nd)
@@ -435,11 +438,14 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
         # borders: home non-core with ≥1 core ε-neighbor
         for s in range(0, len(home_border), chunk):
             q = home_border[s:s + chunk]
+            if len(q) == 0:
+                continue
             D = geom.seg_distance_block(segs[q], segs, w)
-            for r_loc, b in enumerate(q):
-                nbr = np.nonzero((D[r_loc] <= eps) & is_core)[0]
+            ii, jj = np.nonzero((D <= eps) & is_core[None, :])
+            for r_loc in range(len(q)):
+                b = q[r_loc]
                 refs = set()
-                for c in nbr:
+                for c in jj[ii == r_loc]:
                     if c != b:
                         cid = int(seg_ids[c])
                         refs.add(comp_rep.get(uf.find(cid), cid))

@@ -144,13 +144,14 @@ def lang_id_documents(sf_dir: str) -> pd.DataFrame:
 
 _N_PERM = 64
 _N_BANDS = 16  # 16 bands × 4 rows
-_MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(seed: int = 42):
+    """Odd multipliers + offsets for the affine-mod-2^64 hash family —
+    uint64 wraparound arithmetic keeps the signature fully vectorized."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, _N_PERM, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, _N_PERM, dtype=np.int64)
+    a = rng.integers(1, 1 << 62, _N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 62, _N_PERM, dtype=np.uint64)
     return a, b
 
 
@@ -170,10 +171,10 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    sh = _shingles(text)
-    # (a*x + b) mod p per permutation, min over shingles — vectorized (P, S)
-    vals = (a[:, None].astype(object) * sh[None, :].astype(object) + b[:, None]) % _MERSENNE
-    return np.array(vals.min(axis=1).tolist(), dtype=np.int64)
+    sh = _shingles(text).astype(np.uint64)
+    # (a*x + b) mod 2^64 per permutation, min over shingles — vectorized (P, S)
+    vals = a[:, None] * sh[None, :] + b[:, None]
+    return (vals.min(axis=1) >> np.uint64(1)).astype(np.int64)
 
 
 class MinHasher:
