@@ -52,7 +52,11 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     # extracted feeds two branches (segments, points/tiles) — pin
     extracted = _maybe_ckpt(extracted, cfg, "extracted", pin=True)
 
-    segments = stages.build_segments(extracted, cfg)
+    # materialize between the stateless MDL stage and the actor-pool cell
+    # encoder: Ray would otherwise fuse the parse/MDL tasks INTO the actor
+    # pool, serializing them behind the pool's ramp-up (measured 12x slower);
+    # the segment set is tiny relative to pages so the pin is free
+    segments = stages.build_segments(extracted, cfg).materialize()
     segments = stages.encode_cells(segments, cfg)
     segments = _maybe_ckpt(segments, cfg, "segments", upstream="extracted")
     # Keep the segment set pinned: it feeds telemetry, the keyed shuffle and
@@ -101,7 +105,9 @@ def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     segments (candidates complete within the replication radius 2M)."""
     deduped = stages.dedup_pages(pages)
     extracted = stages.extract_pages(deduped, cfg)
-    segments = stages.encode_cells(stages.build_segments(extracted, cfg), cfg)
+    segments = stages.encode_cells(
+        stages.build_segments(extracted, cfg).materialize(), cfg
+    ).materialize()
     telemetry = stages.cell_telemetry(segments)
     salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
     keyed = stages.replicate_for_dbscan(segments, salt_map, cfg)

@@ -408,56 +408,57 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
         is_core = np.array([cmap.get(int(s), False) for s in seg_ids], dtype=bool)
         home_core = hidx[is_core[hidx]]
         home_border = hidx[~is_core[hidx]]
-        rows = {"seg_id": [], "traj_id": [], "kind": [], "ref": []}
-        uf = geom.UnionFind()
-        nodes = set(int(seg_ids[h]) for h in home_core)
         chunk = 1024
-        # local components over edges incident to home cores (vectorized pair
-        # extraction; the union-find walk is the only per-pair Python)
+        # collect edges (home core ↔ core) and border links as index arrays
+        E_i, E_j, B_i, B_j = [], [], [], []
         for s in range(0, len(home_core), chunk):
             q = home_core[s:s + chunk]
             D = geom.seg_distance_block(segs[q], segs, w)
             ii, jj = np.nonzero((D <= eps) & is_core[None, :])
-            hs = seg_ids[q[ii]]
-            cs = seg_ids[jj]
-            for h_id, c_id in zip(hs.tolist(), cs.tolist()):
-                if h_id != c_id:
-                    nodes.add(int(c_id))
-                    uf.union(int(h_id), int(c_id))
-        comp_rep: dict = {}
-        for nd in nodes:
-            root = uf.find(nd)
-            comp_rep[root] = min(comp_rep.get(root, nd), nd)
-        sid_to_idx = {int(s): i for i, s in enumerate(seg_ids)}
-        for nd in sorted(nodes):
-            i = sid_to_idx[nd]
-            rows["seg_id"].append(nd)
-            rows["traj_id"].append(traj[i])
-            rows["kind"].append(0)
-            rows["ref"].append(comp_rep[uf.find(nd)])
-        # borders: home non-core with ≥1 core ε-neighbor
+            gi = q[ii]
+            keep = gi != jj
+            E_i.append(gi[keep])
+            E_j.append(jj[keep])
         for s in range(0, len(home_border), chunk):
             q = home_border[s:s + chunk]
-            if len(q) == 0:
-                continue
             D = geom.seg_distance_block(segs[q], segs, w)
             ii, jj = np.nonzero((D <= eps) & is_core[None, :])
-            for r_loc in range(len(q)):
-                b = q[r_loc]
-                refs = set()
-                for c in jj[ii == r_loc]:
-                    if c != b:
-                        cid = int(seg_ids[c])
-                        refs.add(comp_rep.get(uf.find(cid), cid))
-                for ref_id in sorted(refs):
-                    rows["seg_id"].append(int(seg_ids[b]))
-                    rows["traj_id"].append(traj[b])
-                    rows["kind"].append(1)
-                    rows["ref"].append(ref_id)
-        if not rows["seg_id"]:
+            B_i.append(q[ii])
+            B_j.append(jj)
+        ei = np.concatenate(E_i) if E_i else np.empty(0, dtype=np.int64)
+        ej = np.concatenate(E_j) if E_j else np.empty(0, dtype=np.int64)
+        # local components = vectorized min-label propagation over the
+        # home-incident core graph (converges to min seg_id per component —
+        # identical result to union-find, C-speed per round)
+        lab = seg_ids.astype(np.int64).copy()
+        while len(ei):
+            old = lab.copy()
+            np.minimum.at(lab, ei, lab[ej])
+            np.minimum.at(lab, ej, lab[ei])
+            if np.array_equal(lab, old):
+                break
+        node_idx = np.unique(np.concatenate([home_core, ej])) if len(ej) \
+            else home_core
+        out_seg = seg_ids[node_idx].astype(np.int64)
+        out_ref = lab[node_idx]
+        out_traj = traj[node_idx]
+        out_kind = np.zeros(len(node_idx), dtype=np.int64)
+        # borders: distinct (border seg, component rep of adjacent core)
+        if B_i and sum(len(b) for b in B_i):
+            bi = np.concatenate(B_i)
+            bj = np.concatenate(B_j)
+            pairs = np.unique(np.stack([bi, lab[bj]], axis=1), axis=0)
+            out_seg = np.concatenate([out_seg, seg_ids[pairs[:, 0]].astype(np.int64)])
+            out_ref = np.concatenate([out_ref, pairs[:, 1]])
+            out_traj = np.concatenate([out_traj, traj[pairs[:, 0]]])
+            out_kind = np.concatenate(
+                [out_kind, np.ones(len(pairs), dtype=np.int64)]
+            )
+        if len(out_seg) == 0:
             return empty
-        return pd.DataFrame(rows).astype(
-            {"seg_id": "int64", "kind": "int64", "ref": "int64"}
+        return pd.DataFrame(
+            {"seg_id": out_seg, "traj_id": out_traj,
+             "kind": out_kind, "ref": out_ref}
         )
 
     out = keyed.groupby("gkey").map_groups(f, batch_format="pandas")
