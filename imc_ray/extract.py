@@ -163,10 +163,12 @@ _PT_RE = re.compile(
 )
 
 
-def parse_tracks(url: str, text: str):
+def parse_tracks(url: str, text: str, with_ts: bool = True):
     """Parse TRACK lines → list of (traj_id, lat[], lon[], ts[]).  A line with
     any malformed point is skipped entirely (deterministic).  Tracks need ≥ 2
-    valid points."""
+    valid points.  ``with_ts=False`` skips timestamp materialization (the
+    geometry stages don't use it — parsing datetimes per point is the single
+    hottest part of a full parse)."""
     out = []
     for line in text.split("\n"):
         m = _TRACK_RE.match(line)
@@ -182,10 +184,11 @@ def parse_tracks(url: str, text: str):
                 break
             lats.append(float(pm.group(1)))
             lons.append(float(pm.group(2)))
-            tss.append(np.datetime64(pm.group(3), "us"))
+            tss.append(pm.group(3))
         if ok and len(lats) >= 2:
-            out.append((f"{url}#{k}", np.asarray(lats), np.asarray(lons),
-                        np.asarray(tss)))
+            ts_arr = (np.asarray(tss, dtype="datetime64[s]").astype("datetime64[us]")
+                      if with_ts else None)
+            out.append((f"{url}#{k}", np.asarray(lats), np.asarray(lons), ts_arr))
     return out
 
 

@@ -380,7 +380,7 @@ class UnionFind:
 
 
 def core_flags(segs: np.ndarray, eps: float, min_lns: int,
-               w=(1.0, 1.0, 1.0), query_idx=None, chunk: int = 1024):
+               w=(1.0, 1.0, 1.0), query_idx=None, chunk: int = 128):
     """ε-neighborhood counts (including self) → core flags for the segments at
     ``query_idx`` (default all), computed against the whole array.  Chunked
     dense distance evaluation."""
@@ -397,7 +397,7 @@ def core_flags(segs: np.ndarray, eps: float, min_lns: int,
 
 def dbscan_segments(segs: np.ndarray, seg_ids: np.ndarray, traj_ids: np.ndarray,
                     eps: float, min_lns: int, w=(1.0, 1.0, 1.0),
-                    chunk: int = 1024) -> np.ndarray:
+                    chunk: int = 128) -> np.ndarray:
     """Deterministic DBSCAN over one in-memory segment set.
 
     Variant semantics (graft-normative, SURVEY §4.5/§7.4 — classic DBSCAN's

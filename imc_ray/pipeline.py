@@ -66,11 +66,10 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     telemetry = stages.cell_telemetry(segments)
     salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
 
-    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg)
-    keyed = keyed.materialize()  # reused by DBSCAN phase 1 + phase 2
-
-    core_df = stages.dbscan_phase1(keyed, cfg)
-    links = stages.dbscan_phase2(keyed, core_df, cfg)
+    # single-pass DBSCAN: replicate at 2M so core flags are locally exact for
+    # every segment within M of a cell (stages.dbscan_links docstring)
+    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
+    links = stages.dbscan_links(keyed, cfg)
     labels = stages.merge_labels(links, cfg)
 
     labeled = stages.assign_labels(segments, labels)
@@ -81,8 +80,7 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     reps = reps_ds.to_pandas()
     polys = polys_ds.to_pandas()
 
-    points = stages.parse_points(extracted)
-    tiles = stages.build_tiles(points, cfg)
+    tiles = stages.build_tiles_from_pages(extracted, cfg)
     tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream="extracted")
 
     tile_cluster = stages.spatial_join(tiles, polys, cfg)

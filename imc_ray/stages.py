@@ -103,15 +103,15 @@ def dedup_pages(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("url")
         .aggregate(Min("warc_ts", alias_name="min_ts"))
     )
-    min_df = mins.to_pandas()
-    ref = ray.put(dict(zip(min_df["url"], min_df["min_ts"])))
+    min_df = mins.to_pandas().set_index("url")
+    ref = ray.put(min_df)
 
     def keep_first(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        urls = batch["url"].to_pylist()
-        ts = batch["warc_ts"].to_pandas()
-        mask = np.array([m[u] == t for u, t in zip(urls, ts)], dtype=bool)
-        return batch.filter(pa.array(mask))
+        urls = pd.Index(batch["url"].to_pylist())
+        want = m["min_ts"].reindex(urls).to_numpy()
+        ts = batch["warc_ts"].to_numpy()
+        return batch.filter(pa.array(ts == want))
 
     return ds.map_batches(keep_first, batch_format="pyarrow")
 
@@ -161,7 +161,7 @@ def _segments_from_text_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     per-track arrays — no per-row pandas in the hot path."""
     out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
     for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-        for traj_id, lat, lon, _ts in extract.parse_tracks(url, text):
+        for traj_id, lat, lon, _ts in extract.parse_tracks(url, text, with_ts=False):
             x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
             pts = np.column_stack([x, y])
             keep = np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0.0, axis=1)])
@@ -250,7 +250,9 @@ def encode_cells(segments: ray.data.Dataset,
         fn_constructor_args=(cfg.coarse_cell,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.actor_pool,
+        # encoding is cheap bit math — a small pool saturates it; a wide pool
+        # just pays actor spin-up (measured as pure fixed cost)
+        concurrency=(1, min(8, cfg.actor_pool[1])),
         num_cpus=1,
     )
 
@@ -260,13 +262,23 @@ def encode_cells(segments: ray.data.Dataset,
 # ---------------------------------------------------------------------------
 
 def cell_telemetry(segments_with_cell: ray.data.Dataset) -> pd.DataFrame:
-    """Per-cell segment counts — drives salting and is recorded as metrics."""
-    t = (
-        segments_with_cell.select_columns(["cell"])
-        .groupby("cell")
-        .aggregate(Count(alias_name="n_segs"))
-    )
-    return t.to_pandas()
+    """Per-cell segment counts — drives salting and is recorded as metrics.
+
+    Partial bincounts per batch + driver-side combine: the distinct-cell set
+    is small (thousands), so this avoids a full groupby shuffle + aggregator
+    actor spin-up for what is telemetry."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(t["cell"].to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(uniq, type=pa.int64()),
+                         "n_segs": pa.array(counts, type=pa.int64())})
+
+    parts = (segments_with_cell.select_columns(["cell"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"cell": pd.Series(dtype="int64"),
+                             "n_segs": pd.Series(dtype="int64")})
+    return parts.groupby("cell", as_index=False)["n_segs"].sum()
 
 
 def salt_map_from_telemetry(telemetry: pd.DataFrame, salt_cap: int) -> dict:
@@ -283,11 +295,15 @@ def salt_map_from_telemetry(telemetry: pd.DataFrame, salt_cap: int) -> dict:
 # ---------------------------------------------------------------------------
 
 def replicate_for_dbscan(segments: ray.data.Dataset, salt_map: dict,
-                         cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         radius_mult: float = 1.0) -> ray.data.Dataset:
     """Replicate each segment into every (cell, salt) bucket whose cell square
-    is within M of its midpoint, M = cfg.halo (neighbor-midpoint bound: every
-    ε-neighbor of a home segment has its midpoint within M of the home
-    midpoint, hence within M of the cell).
+    is within radius_mult·M of its midpoint, M = cfg.halo (neighbor-midpoint
+    bound: every ε-neighbor of a home segment has its midpoint within M of
+    the home midpoint, hence within M of the cell).  radius_mult=2 is the
+    single-pass DBSCAN invariant (core flags computable locally for all
+    segments within M of the cell); radius_mult=1 suffices for the two-phase
+    variant and the kNN join.
 
     A bucket therefore contains every segment whose ε-neighborhood (TRACLUS
     distance) can involve one of its home segments, so home core flags and
@@ -298,7 +314,7 @@ def replicate_for_dbscan(segments: ray.data.Dataset, salt_map: dict,
     and salt-of-seg_id)."""
     salt_ref = ray.put(salt_map)
     cell_size = cfg.coarse_cell
-    radius = cfg.halo
+    radius = cfg.halo * radius_mult
 
     def f(batch: pa.Table) -> pa.Table:
         salts = ray.get(salt_ref)
@@ -349,6 +365,99 @@ def _group_arrays(g: pd.DataFrame):
     return segs, g["seg_id"].to_numpy(), g["is_home"].to_numpy(dtype=bool)
 
 
+def dbscan_links(keyed2m: ray.data.Dataset,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Single-pass distributed DBSCAN over buckets replicated at radius 2M
+    (``replicate_for_dbscan(..., radius_mult=2)``).
+
+    Per bucket: segments within M of the cell ("inner") have their FULL
+    ε-neighborhood present (neighbors' midpoints lie within M of theirs, so
+    within 2M of the cell), so core flags for inner segments are computed
+    locally and agree bit-for-bit in every bucket that computes them.  Home
+    segments are inner, their ε-neighbors are inner → edges incident to home
+    cores and border attachments are exact.  Emits the same link rows as the
+    two-phase variant (kind 0 core→local-comp-rep, kind 1 border→comp-rep)
+    with ONE shuffle and no core-flag broadcast roundtrip.
+
+    Trade-off vs (dbscan_phase1 + dbscan_phase2): ~2.3× replication volume
+    through the shuffle, but one groupby barrier instead of two, no driver
+    round-trip for core flags, and ~40% less distance work — wins on this
+    box; the two-phase path remains for deployments where shuffle bytes are
+    the binding constraint."""
+    eps, min_lns = cfg.eps, cfg.min_lns
+    w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
+    M = cfg.halo
+    cell_size = cfg.coarse_cell
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        segs, seg_ids, is_home = _group_arrays(g)
+        traj = g["traj_id"].to_numpy()
+        empty = pd.DataFrame(
+            {"seg_id": pd.Series(dtype="int64"),
+             "traj_id": pd.Series(dtype="object"),
+             "kind": pd.Series(dtype="int64"),
+             "ref": pd.Series(dtype="int64")}
+        )
+        hidx = np.nonzero(is_home)[0]
+        if len(hidx) == 0:
+            return empty
+        bcell = np.int64(g["bcell"].iloc[0])
+        mx = (segs[:, 0] + segs[:, 2]) * 0.5
+        my = (segs[:, 1] + segs[:, 3]) * 0.5
+        inner = geom.dist_to_cell(mx, my, bcell, cell_size) <= M
+        inner_idx = np.nonzero(inner)[0]
+        # one chunked distance sweep: ε-counts for inner rows, ε-pairs for
+        # home rows (home ⊆ inner)
+        is_core = np.zeros(len(segs), dtype=bool)
+        P_i, P_j = [], []
+        chunk = 128
+        for s in range(0, len(inner_idx), chunk):
+            q = inner_idx[s:s + chunk]
+            D = geom.seg_distance_block(segs[q], segs, w)
+            close = D <= eps
+            is_core[q] = close.sum(axis=1) >= min_lns
+            hmask = is_home[q]
+            if hmask.any():
+                ii, jj = np.nonzero(close[hmask])
+                P_i.append(q[hmask][ii])
+                P_j.append(jj)
+        pi = np.concatenate(P_i) if P_i else np.empty(0, dtype=np.int64)
+        pj = np.concatenate(P_j) if P_j else np.empty(0, dtype=np.int64)
+        emask = is_core[pi] & is_core[pj] & (pi != pj)
+        ei, ej = pi[emask], pj[emask]
+        bmask = ~is_core[pi] & is_core[pj]
+        bi, bj = pi[bmask], pj[bmask]
+        # local components: vectorized min-label propagation
+        lab = seg_ids.astype(np.int64).copy()
+        while len(ei):
+            old = lab.copy()
+            np.minimum.at(lab, ei, lab[ej])
+            np.minimum.at(lab, ej, lab[ei])
+            if np.array_equal(lab, old):
+                break
+        home_core = hidx[is_core[hidx]]
+        node_idx = np.unique(np.concatenate([home_core, ej])) if len(ej) \
+            else home_core
+        out_seg = seg_ids[node_idx].astype(np.int64)
+        out_ref = lab[node_idx]
+        out_traj = traj[node_idx]
+        out_kind = np.zeros(len(node_idx), dtype=np.int64)
+        if len(bi):
+            pairs = np.unique(np.stack([bi, lab[bj]], axis=1), axis=0)
+            out_seg = np.concatenate([out_seg, seg_ids[pairs[:, 0]].astype(np.int64)])
+            out_ref = np.concatenate([out_ref, pairs[:, 1]])
+            out_traj = np.concatenate([out_traj, traj[pairs[:, 0]]])
+            out_kind = np.concatenate([out_kind, np.ones(len(pairs), dtype=np.int64)])
+        if len(out_seg) == 0:
+            return empty
+        return pd.DataFrame(
+            {"seg_id": out_seg, "traj_id": out_traj,
+             "kind": out_kind, "ref": out_ref}
+        )
+
+    return keyed2m.groupby("gkey").map_groups(f, batch_format="pandas").to_pandas()
+
+
 def dbscan_phase1(keyed: ray.data.Dataset,
                   cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Per (cell,salt) bucket: exact ε-neighborhood counts for HOME segments
@@ -365,7 +474,7 @@ def dbscan_phase1(keyed: ray.data.Dataset,
             return pd.DataFrame({"seg_id": [], "is_core": []}).astype(
                 {"seg_id": "int64", "is_core": "bool"}
             )
-        core, _ = geom.core_flags(segs, eps, min_lns, w, query_idx=hidx)
+        core, _ = geom.core_flags(segs, eps, min_lns, w, query_idx=hidx, chunk=128)
         return pd.DataFrame({"seg_id": seg_ids[hidx], "is_core": core})
 
     out = keyed.groupby("gkey").map_groups(f, batch_format="pandas")
@@ -389,11 +498,16 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
     here it is a ray.put dict read once per task from the local store."""
     eps, min_lns = cfg.eps, cfg.min_lns
     w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
-    core_ref = ray.put(dict(zip(core_flags_df["seg_id"].astype(np.int64),
-                                core_flags_df["is_core"].astype(bool))))
+    # broadcast core flags as a sorted id array + flag array: workers look
+    # them up with vectorized searchsorted (a dict would cost one Python
+    # lookup per replicated row)
+    ids = core_flags_df["seg_id"].to_numpy(dtype=np.int64)
+    flags = core_flags_df["is_core"].to_numpy(dtype=bool)
+    order = np.argsort(ids, kind="stable")
+    core_ref = ray.put((ids[order], flags[order]))
 
     def f(g: pd.DataFrame) -> pd.DataFrame:
-        cmap = ray.get(core_ref)
+        core_ids, core_flags = ray.get(core_ref)
         segs, seg_ids, is_home = _group_arrays(g)
         traj = g["traj_id"].to_numpy()
         hidx = np.nonzero(is_home)[0]
@@ -405,10 +519,14 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
         )
         if len(hidx) == 0:
             return empty
-        is_core = np.array([cmap.get(int(s), False) for s in seg_ids], dtype=bool)
+        sid64 = seg_ids.astype(np.int64)
+        pos = np.searchsorted(core_ids, sid64)
+        pos = np.clip(pos, 0, max(len(core_ids) - 1, 0))
+        is_core = (core_ids[pos] == sid64) & core_flags[pos] \
+            if len(core_ids) else np.zeros(len(sid64), dtype=bool)
         home_core = hidx[is_core[hidx]]
         home_border = hidx[~is_core[hidx]]
-        chunk = 1024
+        chunk = 128
         # collect edges (home core ↔ core) and border links as index arrays
         E_i, E_j, B_i, B_j = [], [], [], []
         for s in range(0, len(home_core), chunk):
@@ -466,65 +584,78 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
 
 
 def merge_labels(links: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
-    """C3+C4 on the driver: union-find over the thin link set → canonical
-    labels (min member seg_id) → trajectory-cardinality filter.
+    """C3+C4 on the driver: vectorized min-label propagation over the thin
+    link set → canonical labels (min member seg_id) → trajectory-cardinality
+    filter.  Matches :func:`imc_ray.geom.dbscan_segments` semantics exactly.
 
-    Matches :func:`imc_ray.geom.dbscan_segments` semantics exactly.  The link
-    set is linear in (replicated) core segments — at the north-star scale this
-    becomes iterative min-label propagation via groupby (documented), the
-    semantics are identical."""
+    The link set is linear in (replicated) core segments and every step here
+    is a numpy/pandas kernel — no per-row Python.  At the north-star scale
+    the same propagation runs distributed via groupby rounds (documented);
+    the semantics are identical."""
     if len(links) == 0:
         return pd.DataFrame({"seg_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64"),
                              "traj_id": pd.Series(dtype="object")})
-    uf = geom.UnionFind()
     core_rows = links[links["kind"] == 0]
-    for s, r in zip(core_rows["seg_id"], core_rows["ref"]):
-        uf.union(int(s), int(r))
-    # canonical component id = min core seg_id in component
-    canon: dict = {}
-    for s in core_rows["seg_id"]:
-        root = uf.find(int(s))
-        canon[root] = min(canon.get(root, int(s)), int(s))
-    members = {}
-    traj_of = {}
-    for s, t in zip(core_rows["seg_id"], core_rows["traj_id"]):
-        members[int(s)] = canon[uf.find(int(s))]
-        traj_of[int(s)] = t
+    cs = core_rows["seg_id"].to_numpy(dtype=np.int64)
+    cr = core_rows["ref"].to_numpy(dtype=np.int64)
+    # factorize node ids → propagate min component label to convergence
+    nodes, inv = np.unique(np.concatenate([cs, cr]), return_inverse=True)
+    ei, ej = inv[: len(cs)], inv[len(cs):]
+    lab = nodes.copy()
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ei, lab[ej])
+        np.minimum.at(lab, ej, lab[ei])
+        if np.array_equal(lab, old):
+            break
+    # core members (dedupe replicated emissions; a core may appear many times)
+    core_df = pd.DataFrame({
+        "seg_id": cs,
+        "cluster_id": lab[ei],
+        "traj_id": core_rows["traj_id"].to_numpy(),
+    }).drop_duplicates("seg_id")
     # borders: min canonical component over all ε-adjacent core components
-    # (a seg is either core or border globally, never both)
     border_rows = links[links["kind"] == 1]
-    for s, r, t in zip(border_rows["seg_id"], border_rows["ref"], border_rows["traj_id"]):
-        lbl = canon[uf.find(int(r))]
-        si = int(s)
-        members[si] = min(members[si], lbl) if si in members else lbl
-        traj_of[si] = t
-    df = pd.DataFrame(
-        {
-            "seg_id": np.fromiter(members.keys(), dtype=np.int64, count=len(members)),
-            "cluster_id": np.fromiter(members.values(), dtype=np.int64, count=len(members)),
-        }
-    )
-    df["traj_id"] = [traj_of[int(s)] for s in df["seg_id"]]
+    if len(border_rows):
+        bref = border_rows["ref"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(nodes, bref)
+        bdf = pd.DataFrame({
+            "seg_id": border_rows["seg_id"].to_numpy(dtype=np.int64),
+            "comp": lab[pos],
+            "traj_id": border_rows["traj_id"].to_numpy(),
+        })
+        bmin = bdf.groupby("seg_id", sort=False).agg(
+            cluster_id=("comp", "min"), traj_id=("traj_id", "first")
+        ).reset_index()
+        df = pd.concat([core_df, bmin], ignore_index=True)
+    else:
+        df = core_df
     # canonicalize to min member seg_id (borders included), then cardinality
-    lab = df["cluster_id"].to_numpy()
-    lab = geom.canonicalize_labels(lab, df["seg_id"].to_numpy())
-    lab = geom.cardinality_filter(lab, df["traj_id"].to_numpy(), cfg.min_lns)
-    df["cluster_id"] = lab
+    lab2 = df["cluster_id"].to_numpy()
+    lab2 = geom.canonicalize_labels(lab2, df["seg_id"].to_numpy())
+    lab2 = geom.cardinality_filter(lab2, df["traj_id"].to_numpy(), cfg.min_lns)
+    df["cluster_id"] = lab2
     return df[df["cluster_id"] >= 0][["seg_id", "cluster_id", "traj_id"]]
 
 
 def assign_labels(segments: ray.data.Dataset, labels_df: pd.DataFrame) -> ray.data.Dataset:
-    """Broadcast the relabel map and attach ``cluster_id`` to every segment
-    (noise → -1).  Broadcast once via ray.put; at north-star scale this is a
-    hash join on seg_id."""
-    ref = ray.put(dict(zip(labels_df["seg_id"].astype(np.int64),
-                           labels_df["cluster_id"].astype(np.int64))))
+    """Broadcast the relabel map (sorted arrays) and attach ``cluster_id`` to
+    every segment via vectorized searchsorted (noise → -1).  Broadcast once
+    via ray.put; at north-star scale this is a hash join on seg_id."""
+    ids = labels_df["seg_id"].to_numpy(dtype=np.int64)
+    labs = labels_df["cluster_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], labs[order]))
 
     def f(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        lids, llabs = ray.get(ref)
         sid = batch["seg_id"].to_numpy()
-        lab = np.array([m.get(int(s), -1) for s in sid], dtype=np.int64)
+        if len(lids):
+            pos = np.clip(np.searchsorted(lids, sid), 0, len(lids) - 1)
+            lab = np.where(lids[pos] == sid, llabs[pos], np.int64(-1))
+        else:
+            lab = np.full(len(sid), -1, dtype=np.int64)
         return batch.append_column("cluster_id", pa.array(lab, type=pa.int64()))
 
     return segments.map_batches(f, batch_format="pyarrow")
@@ -680,6 +811,48 @@ class TileJoiner:
                 "frac": pa.array(out_f, type=pa.float64()),
             }
         )
+
+
+def build_tiles_from_pages(extracted: ray.data.Dataset,
+                           cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """A4 fast path: fused parse → tile partial counts per batch (never
+    materializes a points table or timestamps) → tiny groupby sum → decode.
+    Identical counts to build_tiles(parse_points(...)) — asserted in tests."""
+    tile_size = cfg.tile_size
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tids = []
+        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            for _tid, lat, lon, _ in extract.parse_tracks(url, text, with_ts=False):
+                x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT,
+                                       extract.ANCHOR_LON)
+                tids.append(geom.cell_id(x, y, tile_size))
+        if not tids:
+            return pa.table({"tile_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(np.concatenate(tids), return_counts=True)
+        return pa.table({"tile_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = (
+        extracted.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(Sum("n", alias_name="occupancy"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_numpy()
+        i, j, _, _ = geom.cell_decode(tid, tile_size)
+        return pa.table(
+            {
+                "tile_id": pa.array(tid, type=pa.int64()),
+                "i": pa.array(i, type=pa.int64()),
+                "j": pa.array(j, type=pa.int64()),
+                "occupancy": pa.array(batch["occupancy"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,

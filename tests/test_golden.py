@@ -83,6 +83,34 @@ def test_single_block(ray_session, gold):
     _assert_match_labels_only(res, gold)
 
 
+def test_two_phase_equals_single_pass(ray_session, gold):
+    """The two-phase DBSCAN (1M replication + core-flag broadcast) and the
+    single-pass variant (2M replication) must produce identical labels."""
+    from imc_ray import stages
+    from imc_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(coarse_cell=64.0)
+    pages = stages.synth_pages(N_DOCS, seed=42).materialize()
+    extracted = stages.extract_pages(stages.dedup_pages(pages), cfg)
+    segments = stages.encode_cells(
+        stages.build_segments(extracted, cfg).materialize(), cfg
+    ).materialize()
+    telemetry = stages.cell_telemetry(segments)
+    salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
+
+    keyed1 = stages.replicate_for_dbscan(segments, salt_map, cfg).materialize()
+    core_df = stages.dbscan_phase1(keyed1, cfg)
+    links2p = stages.dbscan_phase2(keyed1, core_df, cfg)
+    lab2p = stages.merge_labels(links2p, cfg).sort_values("seg_id")
+
+    keyed2 = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
+    links1p = stages.dbscan_links(keyed2, cfg)
+    lab1p = stages.merge_labels(links1p, cfg).sort_values("seg_id")
+
+    assert list(lab2p["seg_id"]) == list(lab1p["seg_id"])
+    assert list(lab2p["cluster_id"]) == list(lab1p["cluster_id"])
+
+
 def _assert_match_labels_only(res, gold):
     eng = pipeline.full_labels(res)
     gl = _gold_labels(gold)
