@@ -73,7 +73,9 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     labels = stages.merge_labels(links, cfg)
 
     labeled = stages.assign_labels(segments, labels)
-    reps_ds = stages.build_representatives(labeled, cfg)
+    # pin reps: polygons derive from them — without the pin the cluster_id
+    # groupby shuffle would re-execute for the polygon branch
+    reps_ds = stages.build_representatives(labeled, cfg).materialize()
     polys_ds = stages.build_polygons(reps_ds, cfg)
     # polygon set is one row per cluster — small; pull to the driver for the
     # broadcast side of the raster↔vector join
@@ -108,7 +110,7 @@ def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     ).materialize()
     telemetry = stages.cell_telemetry(segments)
     salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
-    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg)
+    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
     return stages.knn_join(keyed, k, cfg)
 
 

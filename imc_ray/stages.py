@@ -693,7 +693,10 @@ def build_representatives(labeled_segments: ray.data.Dataset,
             }
         )
 
-    clustered = labeled_segments.filter(lambda r: r["cluster_id"] >= 0)
+    clustered = labeled_segments.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cluster_id"], 0)),
+        batch_format="pyarrow",
+    )
     return clustered.groupby("cluster_id").map_groups(rep_fn, batch_format="pyarrow")
 
 
@@ -867,7 +870,7 @@ def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,
         fn_constructor_args=(ref, cfg.tile_size),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.actor_pool,
+        concurrency=(1, min(16, cfg.actor_pool[1])),
         num_cpus=1,
     )
 

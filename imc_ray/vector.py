@@ -131,26 +131,57 @@ def _planes(dim: int, seed: int = 42) -> np.ndarray:
     return rng.normal(0, 1, (dim, _N_PLANES)).astype(np.float32)
 
 
+_N_TABLES = 6
+_T_PLANES = 6  # planes per table → 64 buckets per table
+
+
+def _table_planes(dim: int, seed: int = 42) -> np.ndarray:
+    """(dim, tables·planes) hyperplanes — one block of _T_PLANES per table."""
+    rng = np.random.Generator(np.random.PCG64(seed + 1))
+    return rng.normal(0, 1, (dim, _N_TABLES * _T_PLANES)).astype(np.float32)
+
+
+def _table_buckets(m: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """(n, tables) bucket id per table: table_id << _T_PLANES | sign bits."""
+    signs = (m @ P) >= 0
+    out = np.zeros((len(m), _N_TABLES), dtype=np.int64)
+    for t in range(_N_TABLES):
+        b = np.zeros(len(m), dtype=np.int64)
+        for p in range(_T_PLANES):
+            b |= signs[:, t * _T_PLANES + p].astype(np.int64) << p
+        out[:, t] = (t << _T_PLANES) | b
+    return out
+
+
 class LshBucketer:
-    """Actor-pool stage: hyperplane matrix built once per actor; emits the
-    bucket id (sign pattern of dot with planes) per vector."""
+    """Actor-pool stage: multi-table hyperplane matrix built once per actor;
+    emits one row per (vector, table) with that table's bucket id — the
+    standard L-tables-of-k-planes LSH layout (random data needs table
+    diversity; a single wide code has near-zero recall)."""
 
     def __init__(self, dim: int, seed: int = 42):
-        self.P = _planes(dim, seed)
+        self.P = _table_planes(dim, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch)
-        signs = (m @ self.P) >= 0
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for b in range(_N_PLANES):
-            bucket |= signs[:, b].astype(np.int64) << b
-        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        buckets = _table_buckets(m, self.P)
+        n = len(m)
+        vid = batch["vec_id"].to_numpy()
+        emb = batch["embedding"].to_pylist()
+        rep = np.repeat(np.arange(n), _N_TABLES)
+        return pa.table({
+            "vec_id": pa.array(vid[rep], type=pa.int64()),
+            "bucket": pa.array(buckets.reshape(-1), type=pa.int64()),
+            "embedding": pa.array([emb[i] for i in rep],
+                                  type=pa.list_(pa.float32())),
+        })
 
 
 def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
-    """LSH-bucketed ANN: vectors grouped by hyperplane-sign bucket; each query
-    searches its own bucket plus all Hamming-1 neighbor buckets.  Approximate
-    — recall vs brute force asserted ≥ 0.6 in tests (rows-only check)."""
+    """LSH-bucketed ANN: 6 tables × 6 hyperplanes; each query searches its
+    bucket plus Hamming-1 neighbors in every table, candidates deduped, exact
+    cosine on the candidate set.  Approximate — recall vs brute force
+    asserted in tests (rows-only driver check)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
@@ -160,16 +191,14 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     qdf = ds.sort("vec_id").limit(n_queries).to_pandas()
     Q = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
     qids = qdf["vec_id"].to_numpy()
-    qsigns = (Q @ _planes(dim)) >= 0
-    qbucket = np.zeros(len(Q), dtype=np.int64)
-    for b in range(_N_PLANES):
-        qbucket |= qsigns[:, b].astype(np.int64) << b
-    # target buckets per query: own + hamming-1
+    qbuckets = _table_buckets(Q, _table_planes(dim))
+    # target buckets per query: own + hamming-1, per table
     targets = {}
-    for qi, qb in enumerate(qbucket):
-        t = {int(qb)} | {int(qb) ^ (1 << b) for b in range(_N_PLANES)}
-        for b in t:
-            targets.setdefault(b, []).append(qi)
+    for qi in range(len(Q)):
+        for t in range(_N_TABLES):
+            qb = int(qbuckets[qi, t])
+            for b in [qb] + [qb ^ (1 << p) for p in range(_T_PLANES)]:
+                targets.setdefault(b, []).append(qi)
     t_ref = ray.put((qids, Q, targets))
 
     def search(t: pa.Table) -> pa.Table:
@@ -183,7 +212,10 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
             for qi in targets_.get(int(b), ()):
                 hit_q.setdefault(qi, []).append(i)
         for qi, idxs in hit_q.items():
-            idxs = np.asarray(idxs)
+            # a vector can hit the same query via several tables — dedupe
+            idxs = np.asarray(sorted(set(idxs)))
+            uniq_v, first_i = np.unique(vid[idxs], return_index=True)
+            idxs = idxs[first_i]
             sub = m[idxs]
             dots = (sub @ Q_[qi]).astype(np.float64)
             nm = np.sqrt((sub * sub).astype(np.float64).sum(axis=1))
@@ -205,7 +237,8 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     parts = bucketed.map_batches(search, batch_format="pyarrow").to_pandas()
     out = []
     for qid, g in parts.groupby("query_id"):
-        g = (g.sort_values(["cos", "vec_id"], ascending=[False, True])
+        g = (g.drop_duplicates("vec_id")
+             .sort_values(["cos", "vec_id"], ascending=[False, True])
              .head(k).reset_index(drop=True))
         g["rank"] = np.arange(len(g), dtype=np.int64)
         out.append(g)
