@@ -108,6 +108,30 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _geo_points(sf_dir: str) -> pd.DataFrame:
+    """M2/M4 parse surface: exploded projected points (rows-only check)."""
+    from imc_ray import stages
+
+    pages = stages.pages_from_documents(sf_dir)
+    extracted = stages.extract_pages(stages.dedup_pages(pages))
+    pts = stages.parse_points(extracted).to_pandas()
+    return pts.sort_values(["traj_id", "seq"]).reset_index(drop=True)
+
+
+def _geo_polygons(sf_dir: str) -> pd.DataFrame:
+    df = _geo(sf_dir)["polygons"]
+    return pd.DataFrame({
+        "cluster_id": df["cluster_id"].astype("int64"),
+        "n_ring_points": [len(r) for r in df["ring"]],
+    }).sort_values("cluster_id").reset_index(drop=True)
+
+
+def _approx_distinct(sf_dir: str) -> pd.DataFrame:
+    from imc_ray import sketches
+
+    return sketches.approx_distinct_query(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from imc_ray import relational as R
     from imc_ray import textops as T
@@ -132,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_check": R.doc_length_check,
         "embedding_norms": R.embedding_norms,
         "sample_orders_count": R.sample_orders_count,
+        "q6_revenue_delta": R.q6_revenue_delta,
+        "distinct_users_per_type": R.distinct_users_per_type,
+        "lang_set_ops": R.lang_set_ops,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -146,8 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": V.knn_brute_force,
         "ann_lsh": V.ann_lsh,
         "embedding_near_dup": V.embedding_near_dup,
+        # sketches (A5 — approximate; accuracy asserted in pytest)
+        "approx_distinct_hll": _approx_distinct,
         # geometry pipeline (rows-only; oracle = imc_ray.oracle via pytest)
         "geo_segments": _geo_segments,
+        "geo_points": _geo_points,
+        "geo_polygons": _geo_polygons,
         "geo_labels": _geo_labels,
         "geo_representatives": _geo_representatives,
         "geo_tiles": _geo_tiles,
@@ -213,6 +244,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "distinct_lang": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "q6_revenue_delta": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lang_set_ops": """
+            SELECT 'except' AS op, lang FROM (
+                SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+                EXCEPT SELECT DISTINCT lang FROM documents WHERE source = 'src1'
+            )
+            UNION ALL
+            SELECT 'intersect' AS op, lang FROM (
+                SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+                INTERSECT SELECT DISTINCT lang FROM documents WHERE source = 'src1'
+            )
+            ORDER BY op, lang
+        """,
         "dedup_documents": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

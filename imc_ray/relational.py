@@ -296,6 +296,77 @@ def anti_join_customers(sf_dir: str) -> pd.DataFrame:
     return _key_filter_customers(sf_dir, False)
 
 
+def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-style filter-aggregate: date range + discount band + quantity
+    cap, pushed as one vectorized Arrow predicate."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"],
+                                 pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(t["l_shipdate"],
+                        pa.scalar(np.datetime64("1997-01-01", "us"))),
+            ),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev": rev})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    total = ds.map_batches(f, batch_format="pyarrow").aggregate(
+        _Sum("rev", alias_name="revenue")
+    )
+    df = pd.DataFrame([{"revenue": total["revenue"]}])
+    return _r(df, ["revenue"])
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """A3 grouped n_distinct: two-level groupby (exact distinct via
+    (type, user) pre-aggregation, then count per type) — the partial/combiner
+    pattern that holds at scale."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = (ds.groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="c")))
+    n_users = (pairs.groupby("event_type")
+               .aggregate(Count(alias_name="n_users")).to_pandas())
+    n_rows = (ds.groupby("event_type")
+              .aggregate(Count(alias_name="n")).to_pandas())
+    out = n_users.merge(n_rows, on="event_type").sort_values("event_type")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def lang_set_ops(sf_dir: str) -> pd.DataFrame:
+    """D3 intersect/except: distinct langs of source 'src0' vs 'src1' —
+    broadcast key-set comparison."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def langs_of(src):
+        sub = ds.map_batches(
+            lambda t, s=src: t.filter(pc.equal(t["source"], pa.scalar(s))),
+            batch_format="pyarrow",
+        )
+        return set(sub.unique("lang"))
+
+    a = langs_of("src0")
+    b = langs_of("src1")
+    rows = (
+        [{"op": "except", "lang": l} for l in sorted(a - b)]
+        + [{"op": "intersect", "lang": l} for l in sorted(a & b)]
+    )
+    return pd.DataFrame(rows, columns=["op", "lang"])
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (§2.9): dates, JSON, strings, arrays
 # ---------------------------------------------------------------------------

@@ -92,6 +92,30 @@ class TestSimilaritySearch:
         assert (out["dup_group"] <= out["vec_id"]).all()
 
 
+class TestSketches:
+    def test_hll_accuracy(self, ray_session):
+        from imc_ray import sketches
+        from imc_ray.stages import read_table
+
+        ev = read_table(SF, "events", columns=["user_id"])
+        est = sketches.approx_distinct(ev, "user_id")
+        exact = len(set(ev.unique("user_id")))
+        assert abs(est - exact) / exact < 0.06  # HLL p=12 ⇒ ~1.6% typical
+
+    def test_hll_merge_equals_single(self):
+        import numpy as np
+
+        from imc_ray import sketches
+
+        vals = [f"v{i}" for i in range(5000)]
+        whole = sketches.hll_accumulate(vals)
+        a = sketches.hll_accumulate(vals[:2500])
+        b = sketches.hll_accumulate(vals[2500:])
+        assert np.array_equal(sketches.hll_merge(a, b), whole)
+        est = sketches.hll_estimate(whole)
+        assert abs(est - 5000) / 5000 < 0.06
+
+
 class TestMultimodal:
     def test_featurizer_plumbing(self, ray_session):
         from imc_ray import multimodal, stages
