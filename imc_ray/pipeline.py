@@ -114,6 +114,46 @@ def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     return stages.knn_join(keyed, k, cfg)
 
 
+def write_map(result: dict, out_dir: str) -> dict:
+    """SNK2 — persist the corridor-map artifact: polygons, tiles, tile_cluster
+    (+ labels) as partitioned Parquet directories, one per table, so a rerun
+    can skip finished tables.  Returns {table: path}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .schemas import POLYGONS
+
+    paths = {}
+    os.makedirs(out_dir, exist_ok=True)
+    # big tables stream from their Datasets
+    for name in ("tiles", "tile_cluster"):
+        p = os.path.join(out_dir, name)
+        result[name].write_parquet(p)
+        paths[name] = p
+    # small driver-side frames (one row per cluster / per segment label)
+    lbl = pa.Table.from_pandas(result["labels"], preserve_index=False)
+    p = os.path.join(out_dir, "labels.parquet")
+    pq.write_table(lbl, p)
+    paths["labels"] = p
+    polys = result["polygons"]
+    rings = [[{"x": float(pt["x"]), "y": float(pt["y"])} for pt in r]
+             for r in polys["ring"]] if len(polys) else []
+    ptab = pa.table(
+        {
+            "cluster_id": pa.array(
+                polys["cluster_id"].astype("int64") if len(polys) else [],
+                type=pa.int64()),
+            "ring": pa.array(rings, type=POLYGONS.field("ring").type),
+        }
+    )
+    p = os.path.join(out_dir, "polygons.parquet")
+    pq.write_table(ptab, p)
+    paths["polygons"] = p
+    return paths
+
+
 def full_labels(result: dict) -> pd.DataFrame:
     """Labels for EVERY segment (noise = -1), sorted by seg_id — the
     exact-match comparison surface vs the oracle (tests/test_golden.py)."""

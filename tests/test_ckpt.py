@@ -56,6 +56,25 @@ def test_stale_config_invalidates_checkpoint(ray_session, ckpt_root):
     assert h1 != h2
 
 
+def test_write_map_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    cfg = PipelineConfig()
+    res = _run(cfg)
+    out = str(tmp_path / "map")
+    paths = pipeline.write_map(res, out)
+    assert set(paths) == {"tiles", "tile_cluster", "labels", "polygons"}
+    tc = pq.read_table(
+        [os.path.join(paths["tile_cluster"], f)
+         for f in os.listdir(paths["tile_cluster"]) if f.endswith(".parquet")]
+    )
+    assert tc.num_rows == res["tile_cluster"].count()
+    polys = pq.read_table(paths["polygons"])
+    assert polys.num_rows == len(res["polygons"])
+    assert polys.schema.field("ring").type == pq.read_table(
+        paths["polygons"]).schema.field("ring").type
+
+
 def test_metrics_logged(ray_session, ckpt_root):
     cfg = PipelineConfig(ckpt_root=ckpt_root, run_id="r3")
     _run(cfg)
