@@ -75,6 +75,26 @@ def run_bench() -> dict:
     throughput["n_trajectories"] = n_trajs
     throughput["n_tile_cluster_rows"] = int(n_join_rows)
     throughput["n_segments"] = int(res["segments"].count())
+    # per-partition (cell) size telemetry before/after salting (BASELINE.md)
+    tele = res["telemetry"]["n_segs"]
+    if len(tele):
+        from imc_ray.stages import salt_map_from_telemetry
+
+        smap = salt_map_from_telemetry(res["telemetry"], cfg.salt_cap)
+        salted = [
+            n / smap.get(int(c), 1)
+            for c, n in zip(res["telemetry"]["cell"], tele)
+        ]
+        import numpy as _np
+
+        def _stats(v):
+            v = _np.asarray(v, dtype=float)
+            return {"min": float(v.min()), "median": float(_np.median(v)),
+                    "max": float(v.max()),
+                    "p99": float(_np.percentile(v, 99))}
+
+        throughput["partition_sizes_pre_salt"] = _stats(tele)
+        throughput["partition_sizes_post_salt"] = _stats(salted)
 
     # --- flagship over the sf documents-derived corpus ---------------------
     timed("flagship_docs",
