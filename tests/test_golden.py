@@ -83,6 +83,20 @@ def test_single_block(ray_session, gold):
     _assert_match_labels_only(res, gold)
 
 
+def test_partition_invariance_1000_docs(ray_session):
+    """FIXTURES.md sizing: 1000-doc invariance run — small cells + forced
+    salting + prime block count simultaneously, vs the oracle."""
+    from imc_ray import extract, oracle
+
+    cfg = PipelineConfig(coarse_cell=64.0, salt_cap=50)
+    res = pipeline.run(
+        stages.synth_pages(1000, seed=42, override_num_blocks=17), cfg
+    )
+    assert stages.salt_map_from_telemetry(res["telemetry"], cfg.salt_cap)
+    gold1k = oracle.run(extract.synth_pages_table(1000, seed=42))
+    _assert_match_labels_only(res, gold1k)
+
+
 def test_two_phase_equals_single_pass(ray_session, gold):
     """The two-phase DBSCAN (1M replication + core-flag broadcast) and the
     single-pass variant (2M replication) must produce identical labels."""
