@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_delta": R.q6_revenue_delta,
         "distinct_users_per_type": R.distinct_users_per_type,
         "lang_set_ops": R.lang_set_ops,
+        "parts_by_brand": R.parts_by_brand,
+        "supplier_nations": R.supplier_nations,
+        "running_total_per_user": R.running_total_per_user,
+        "sessionize_events": R.sessionize_events,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -304,6 +308,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   CAST(max(p_size) AS BIGINT)  AS max_size
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "supplier_nations": """
+            SELECT s.s_suppkey, s.s_name, n.n_name
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ORDER BY s.s_suppkey
+        """,
+        "running_total_per_user": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2)
+                       AS running_value
+            FROM events ORDER BY event_id
+        """,
+        "sessionize_events": """
+            SELECT event_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts - prev_ts) > 300 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_ts
+                FROM events
+            ) ORDER BY event_id
         """,
         "asof_prev_event": """
             SELECT event_id, prev_ts FROM (

@@ -367,6 +367,78 @@ def lang_set_ops(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["op", "lang"])
 
 
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """A2 over the part dimension: per-brand count / avg price / max size."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_brand", "p_retailprice", "p_size"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    out["max_size"] = out["max_size"].astype("int64")
+    return _r(out, ["avg_price"])
+
+
+def supplier_nations(sf_dir: str) -> pd.DataFrame:
+    """J2 broadcast join over the supplier dimension: supplier ⋈ nation."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    ref = ray.put(nation.set_index("n_nationkey")["n_name"])
+    ds = read_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_name", "s_nationkey"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                                 "s_name": pd.Series(dtype="object"),
+                                 "n_name": pd.Series(dtype="object")})
+        names = ray.get(ref)
+        df["n_name"] = names.reindex(df["s_nationkey"]).to_numpy()
+        return df[["s_suppkey", "s_name", "n_name"]]
+
+    return (ds.map_batches(f, batch_format="pandas").to_pandas()
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def running_total_per_user(sf_dir: str) -> pd.DataFrame:
+    """Window function: cumulative value per user ordered by (ts, event_id) —
+    sorted pandas cumsum inside user groups (the windowed-aggregate pattern;
+    ordering assumption stated: per-user ts order)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["running_value"] = g["value"].cumsum()
+        return g[["event_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return _r(out, ["running_value"])
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user: a gap > 300 s starts a new session; emits the
+    1-based session index per event (gaps-and-islands; stream-shaped op over
+    the bounded log — SURVEY §2.10 ordering note)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff().dt.total_seconds()
+        new_sess = gap.isna() | (gap > 300.0)
+        g["session_idx"] = new_sess.cumsum().astype("int64")
+        return g[["event_id", "session_idx"]]
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (§2.9): dates, JSON, strings, arrays
 # ---------------------------------------------------------------------------
