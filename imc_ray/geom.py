@@ -197,23 +197,15 @@ def _components(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
     return d_perp, d_par, d_ang
 
 
-def seg_distance_block(A: np.ndarray, B: np.ndarray,
-                       w=(1.0, 1.0, 1.0)) -> np.ndarray:
-    """Pairwise TRACLUS distance matrix (n, m) between segment arrays
-    ``A`` (n,4) and ``B`` (m,4) of (x1, y1, x2, y2).
+def _distance_core(a, b, w):
+    """TRACLUS distance from pre-broadcast column lists ``a``/``b`` (any
+    mutually-broadcastable shapes, any float dtype).
 
-    The longer segment of each pair is the base (ties → A is base, which is
-    deterministic).  Fully vectorized; caller chunks rows to bound memory.
-    """
-    A = np.asarray(A, dtype=np.float64)
-    B = np.asarray(B, dtype=np.float64)
-    a = [A[:, k][:, None] for k in range(4)]
-    b = [B[:, k][None, :] for k in range(4)]
+    The longer segment of each pair is the base; exact length ties (common
+    after split_long_segments) break on coordinate lexicographic order so
+    d(A,B) == d(B,A) bit-for-bit in any array order."""
     alen = np.hypot(a[2] - a[0], a[3] - a[1])
     blen = np.hypot(b[2] - b[0], b[3] - b[1])
-    # deterministic symmetric base choice: longer segment is the base; exact
-    # length ties (common after split_long_segments) break on coordinate
-    # lexicographic order so d(A,B) == d(B,A) bit-for-bit in any array order
     tie = alen == blen
     gt = (a[0] > b[0]) | ((a[0] == b[0]) & ((a[1] > b[1]) | ((a[1] == b[1]) & (
         (a[2] > b[2]) | ((a[2] == b[2]) & (a[3] >= b[3]))))))
@@ -225,6 +217,62 @@ def seg_distance_block(A: np.ndarray, B: np.ndarray,
     d_par = np.where(a_base, pr_, rb_)
     d_ang = np.where(a_base, an_, ab_)
     return w[0] * d_perp + w[1] * d_par + w[2] * d_ang
+
+
+def seg_distance_block(A: np.ndarray, B: np.ndarray,
+                       w=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """Pairwise TRACLUS distance matrix (n, m) between segment arrays
+    ``A`` (n,4) and ``B`` (m,4) of (x1, y1, x2, y2).  Fully vectorized;
+    caller chunks rows to bound memory."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    a = [A[:, k][:, None] for k in range(4)]
+    b = [B[:, k][None, :] for k in range(4)]
+    return _distance_core(a, b, w)
+
+
+def seg_distance_pairwise(A: np.ndarray, B: np.ndarray,
+                          w=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """Elementwise TRACLUS distance for matched pair lists (k,4)·(k,4)→(k,)."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    a = [A[:, k] for k in range(4)]
+    b = [B[:, k] for k in range(4)]
+    return _distance_core(a, b, w)
+
+
+def close_pair_mask(A: np.ndarray, B: np.ndarray, eps: float,
+                    w=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """Boolean (n, m) mask of pairs with exact f64 TRACLUS distance ≤ ε.
+
+    Two-stage: a float32 block prefilter (half the memory traffic of the f64
+    block — these kernels are DRAM-bound at high core counts) keeps pairs
+    within ε + margin, then the exact float64 distance is evaluated only on
+    the surviving pairs, so the ≤ ε decision is bit-identical to the pure-f64
+    path (and to the oracle).  The f32 margin covers worst-case rounding for
+    coordinates up to ~10^7 m."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    # shift into a local frame before the f32 cast: raw projected coords are
+    # ~1e7 m, where f32 cancellation would cost meters; locals are ~1e2 m
+    cx = (A[:, 0].mean() + A[:, 2].mean()) * 0.5 if len(A) else 0.0
+    cy = (A[:, 1].mean() + A[:, 3].mean()) * 0.5 if len(A) else 0.0
+    shift = np.array([cx, cy, cx, cy])
+    A32 = (A - shift).astype(np.float32)
+    B32 = (B - shift).astype(np.float32)
+    a32 = [A32[:, k][:, None] for k in range(4)]
+    b32 = [B32[:, k][None, :] for k in range(4)]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d32 = _distance_core(a32, b32, w)
+    # nan/inf from f32-degenerate inputs fall through to the exact pass
+    cand = ~(d32 > np.float32(eps * 1.001 + 0.05))
+    ii, jj = np.nonzero(cand)
+    out = np.zeros(d32.shape, dtype=bool)
+    if len(ii):
+        d = seg_distance_pairwise(A[ii], B[jj], w)
+        keep = d <= eps
+        out[ii[keep], jj[keep]] = True
+    return out
 
 
 def seg_midpoints(S: np.ndarray) -> np.ndarray:
@@ -390,8 +438,7 @@ def core_flags(segs: np.ndarray, eps: float, min_lns: int,
     counts = np.zeros(len(query_idx), dtype=np.int64)
     for s in range(0, len(query_idx), chunk):
         q = query_idx[s:s + chunk]
-        D = seg_distance_block(segs[q], segs, w)
-        counts[s:s + len(q)] = (D <= eps).sum(axis=1)
+        counts[s:s + len(q)] = close_pair_mask(segs[q], segs, eps, w).sum(axis=1)
     return counts >= min_lns, counts
 
 

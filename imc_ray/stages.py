@@ -413,8 +413,7 @@ def dbscan_links(keyed2m: ray.data.Dataset,
         chunk = 128
         for s in range(0, len(inner_idx), chunk):
             q = inner_idx[s:s + chunk]
-            D = geom.seg_distance_block(segs[q], segs, w)
-            close = D <= eps
+            close = geom.close_pair_mask(segs[q], segs, eps, w)
             is_core[q] = close.sum(axis=1) >= min_lns
             hmask = is_home[q]
             if hmask.any():
@@ -531,16 +530,16 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
         E_i, E_j, B_i, B_j = [], [], [], []
         for s in range(0, len(home_core), chunk):
             q = home_core[s:s + chunk]
-            D = geom.seg_distance_block(segs[q], segs, w)
-            ii, jj = np.nonzero((D <= eps) & is_core[None, :])
+            close = geom.close_pair_mask(segs[q], segs, eps, w)
+            ii, jj = np.nonzero(close & is_core[None, :])
             gi = q[ii]
             keep = gi != jj
             E_i.append(gi[keep])
             E_j.append(jj[keep])
         for s in range(0, len(home_border), chunk):
             q = home_border[s:s + chunk]
-            D = geom.seg_distance_block(segs[q], segs, w)
-            ii, jj = np.nonzero((D <= eps) & is_core[None, :])
+            close = geom.close_pair_mask(segs[q], segs, eps, w)
+            ii, jj = np.nonzero(close & is_core[None, :])
             B_i.append(q[ii])
             B_j.append(jj)
         ei = np.concatenate(E_i) if E_i else np.empty(0, dtype=np.int64)
