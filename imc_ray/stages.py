@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 from . import extract, geom
 from .config import DEFAULT_CONFIG, PipelineConfig

@@ -16,9 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from .geom import UnionFind
 from .stages import read_table
