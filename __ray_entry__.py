@@ -32,7 +32,8 @@ def _geo(sf_dir: str) -> dict:
 
         cfg = PipelineConfig()
         pages = stages.pages_from_documents(sf_dir)
-        _GEO_CACHE[sf_dir] = pipeline.run(pages, cfg)
+        # verify_invariant: assert byte-identical extraction per url in-line
+        _GEO_CACHE[sf_dir] = pipeline.run(pages, cfg, verify_invariant=True)
     return _GEO_CACHE[sf_dir]
 
 

@@ -145,8 +145,8 @@ def run_flagship_only() -> dict:
     from imc_ray import pipeline, stages
     from imc_ray.config import PipelineConfig
 
-    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "300000"))
-    sites = int(os.environ.get("GRAFT_SCALING_SITES", "1500"))
+    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "600000"))
+    sites = int(os.environ.get("GRAFT_SCALING_SITES", "3000"))
     t0 = time.time()
     res = pipeline.run(
         stages.synth_pages(docs, seed=42, n_sites=sites,

@@ -36,19 +36,24 @@ def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = "",
     return ds.materialize() if pin else ds
 
 
-def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+        verify_invariant: bool = False) -> dict:
     """Run the full map-construction pipeline; returns a dict with the
     output Datasets / DataFrames:
 
     ``segments`` (Dataset), ``labels`` (DataFrame), ``representatives``
     (DataFrame), ``polygons`` (DataFrame), ``tiles`` (Dataset),
     ``tile_cluster`` (Dataset), ``telemetry`` (DataFrame).
+
+    ``verify_invariant=True`` asserts per row that the extracted text is
+    byte-identical to the crawler-provided ``text`` column (the north-rule
+    invariant) while extracting.
     """
     # dedup consumes pages twice (min-ts aggregate + filter) — pin it so the
     # upstream source/generator executes once
     pages = pages.materialize() if not cfg.ckpt_root else pages
     deduped = stages.dedup_pages(pages)
-    extracted = stages.extract_pages(deduped, cfg)
+    extracted = stages.extract_pages(deduped, cfg, verify_invariant)
     # extracted feeds two branches (segments, points/tiles) — pin
     extracted = _maybe_ckpt(extracted, cfg, "extracted", pin=True)
 
