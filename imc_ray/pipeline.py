@@ -74,6 +74,9 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     # single-pass DBSCAN: replicate at 2M so core flags are locally exact for
     # every segment within M of a cell (stages.dbscan_links docstring)
     keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
+    # checkpointing the keyed (replicated) set = resume point just before the
+    # big exchange — "resume mid-shuffle" (SURVEY §4.6)
+    keyed = _maybe_ckpt(keyed, cfg, "keyed", upstream="segments")
     links = stages.dbscan_links(keyed, cfg)
     labels = stages.merge_labels(links, cfg)
 
