@@ -81,7 +81,12 @@ def _unpart1by1(n: np.ndarray) -> np.ndarray:
 
 
 def cell_ij(x, y, size: float):
-    """Integer grid coordinates of (x, y) at resolution ``size`` meters."""
+    """Integer grid coordinates of (x, y) at resolution ``size`` meters.
+
+    Supported resolutions are ≥ 1 m: the 26-bit index space covers the full
+    ±2^25 m world at size 1; finer grids would overflow the Morton key at the
+    world boundary (found by the hypothesis round-trip property)."""
+    assert size >= 1.0, f"cell size {size} < 1 m overflows the 26-bit grid"
     i = np.floor((np.asarray(x, dtype=np.float64) + _CELL_OFFSET) / size).astype(np.int64)
     j = np.floor((np.asarray(y, dtype=np.float64) + _CELL_OFFSET) / size).astype(np.int64)
     return i, j

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the geometry kernels, plus
+empty-corpus robustness of the full pipeline."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imc_ray import geom
+
+coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False)
+
+
+def seg_strategy():
+    return st.tuples(coord, coord, coord, coord).map(
+        lambda t: np.array(t, dtype=np.float64)
+    )
+
+
+class TestDistanceProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(seg_strategy(), seg_strategy())
+    def test_symmetry(self, a, b):
+        A = a.reshape(1, 4)
+        B = b.reshape(1, 4)
+        assert geom.seg_distance_block(A, B)[0, 0] == \
+            geom.seg_distance_block(B, A)[0, 0]
+
+    @settings(max_examples=200, deadline=None)
+    @given(seg_strategy())
+    def test_self_distance_zero(self, a):
+        A = a.reshape(1, 4)
+        assert geom.seg_distance_block(A, A)[0, 0] == 0.0
+
+    @settings(max_examples=200, deadline=None)
+    @given(seg_strategy(), seg_strategy())
+    def test_nonnegative_finite(self, a, b):
+        d = geom.seg_distance_block(a.reshape(1, 4), b.reshape(1, 4))[0, 0]
+        assert np.isfinite(d) and d >= 0.0
+
+    @settings(max_examples=100, deadline=None)
+    @given(seg_strategy(), seg_strategy(),
+           st.floats(min_value=1.0, max_value=100.0))
+    def test_prefilter_mask_equals_exact(self, a, b, eps):
+        A = a.reshape(1, 4)
+        B = np.vstack([b.reshape(1, 4), a.reshape(1, 4)])
+        exact = geom.seg_distance_block(A, B) <= eps
+        assert np.array_equal(exact, geom.close_pair_mask(A, B, eps))
+
+
+class TestCellProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(coord, coord, st.floats(min_value=1.0, max_value=4096.0))
+    def test_morton_roundtrip(self, x, y, size):
+        c = geom.cell_id(np.array([x]), np.array([y]), size)
+        i, j, x0, y0 = geom.cell_decode(c, size)
+        # 1e-6 slack: quantization happens on (coord + 2^25), whose float64
+        # ulp (~7e-9 m) can push exact-boundary coords into the adjacent
+        # cell — deterministic and consistent across every call site
+        assert x0[0] - 1e-6 <= x < x0[0] + size + 1e-6
+        assert y0[0] - 1e-6 <= y < y0[0] + size + 1e-6
+
+    @settings(max_examples=100, deadline=None)
+    @given(coord, coord, st.floats(min_value=1.0, max_value=200.0))
+    def test_cells_within_contains_home(self, x, y, radius):
+        rows, cells = geom.cells_within(np.array([x]), np.array([y]),
+                                        radius, 512.0)
+        home = geom.cell_id(np.array([x]), np.array([y]), 512.0)[0]
+        assert home in set(cells)
+
+
+class TestMDLProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.tuples(coord, coord), min_size=2, max_size=40))
+    def test_endpoints_always_characteristic(self, pts):
+        arr = np.asarray(pts, dtype=np.float64)
+        cps = geom.mdl_partition(arr)
+        assert cps[0] == 0 and cps[-1] == len(arr) - 1
+        assert np.all(np.diff(cps) >= 1)
+
+
+def test_empty_corpus_pipeline(ray_session):
+    """All-filtered corpus (no matching language) must flow through every
+    stage and produce empty outputs, not crash."""
+    from imc_ray import pipeline, stages
+    from imc_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(langs=("zz",))
+    res = pipeline.run(stages.synth_pages(30, seed=42), cfg)
+    assert res["segments"].count() == 0
+    assert len(res["labels"]) == 0
+    assert len(res["representatives"]) == 0
+    assert res["tile_cluster"].count() == 0
+    assert len(pipeline.full_labels(res)) == 0
