@@ -166,6 +166,9 @@ def full_labels(result: dict) -> pd.DataFrame:
     """Labels for EVERY segment (noise = -1), sorted by seg_id — the
     exact-match comparison surface vs the oracle (tests/test_golden.py)."""
     seg_ids = result["segments"].select_columns(["seg_id"]).to_pandas()
+    if "seg_id" not in seg_ids.columns:  # empty dataset loses its schema
+        return pd.DataFrame({"seg_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
     lab = result["labels"].copy()
     # nullable Int64 keeps 64-bit ids exact through the left join (a float64
     # NaN-fill would round ids beyond 2^53)
