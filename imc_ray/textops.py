@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from .geom import UnionFind
@@ -239,6 +240,57 @@ def _lsh_candidates(bands, star_only: bool) -> pd.DataFrame:
     return cand.drop_duplicates()
 
 
+def _verify_jaccard(ds, cand: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact shingle-Jaccard per candidate pair, distributed: only CANDIDATE
+    documents' texts are fetched (broadcast id-set filter — never the whole
+    corpus), then pairs verify in parallel ``map_batches`` over the pair
+    list.  Returns pairs with jaccard ≥ threshold."""
+    if len(cand) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    need = set(int(x) for x in pd.concat([cand["a"], cand["b"]]).unique())
+    need_ref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = ray.get(need_ref)
+        mask = pa.array([int(d) in ids for d in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    texts = (ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+             .set_index("doc_id")["text"])
+    texts_ref = ray.put(texts)
+    pairs_ds = ray.data.from_pandas(cand.reset_index(drop=True))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(texts_ref)
+        out = {"a": [], "b": [], "jaccard": []}
+        cache: dict = {}
+
+        def sh(i):
+            if i not in cache:
+                cache[i] = set(_shingles(tx.loc[i]).tolist())
+            return cache[i]
+
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = sh(int(a)), sh(int(b))
+            jac = len(sa & sb) / max(len(sa | sb), 1)
+            if jac >= threshold:
+                out["a"].append(int(a))
+                out["b"].append(int(b))
+                out["jaccard"].append(round(float(jac), 4))
+        return pd.DataFrame(out) if out["a"] else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")})
+
+    out = pairs_ds.map_batches(verify, batch_format="pandas").to_pandas()
+    if "a" not in out.columns:
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64"),
+                            "jaccard": pd.Series(dtype="float64")})
+    return out
+
+
 def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
     """MinHash-LSH near-dup groups: shingle→minhash per batch (actor pool) →
     (band, band_hash) groupby → candidate pairs → exact shingle-Jaccard verify
@@ -251,16 +303,11 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
                            concurrency=(1, 4), num_cpus=1)
     cand = _lsh_candidates(bands, star_only=True)
 
-    # verify candidates with exact shingle Jaccard (small candidate set)
-    docs = ds.to_pandas().set_index("doc_id")["text"]
+    verified = _verify_jaccard(ds, cand, jaccard_threshold)
     uf = UnionFind()
-    for a, b in zip(cand["a"], cand["b"]):
-        sa = set(_shingles(docs.loc[int(a)]).tolist())
-        sb = set(_shingles(docs.loc[int(b)]).tolist())
-        jac = len(sa & sb) / max(len(sa | sb), 1)
-        if jac >= jaccard_threshold:
-            uf.union(int(a), int(b))
-    all_ids = sorted(int(i) for i in docs.index)
+    for a, b in zip(verified["a"], verified["b"]):
+        uf.union(int(a), int(b))
+    all_ids = sorted(int(i) for i in ds.unique("doc_id"))
     groups = [uf.find(i) for i in all_ids]
     return pd.DataFrame({"doc_id": all_ids, "dup_group": groups})
 
@@ -306,13 +353,5 @@ def ngram_jaccard_pairs(sf_dir: str, min_jaccard: float = 0.2) -> pd.DataFrame:
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                            concurrency=(1, 4), num_cpus=1)
     cand = _lsh_candidates(bands, star_only=False)
-    docs = ds.to_pandas().set_index("doc_id")["text"]
-    rows = []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa = set(_shingles(docs.loc[int(a)]).tolist())
-        sb = set(_shingles(docs.loc[int(b)]).tolist())
-        jac = len(sa & sb) / max(len(sa | sb), 1)
-        if jac >= min_jaccard:
-            rows.append((int(a), int(b), round(jac, 4)))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).sort_values(
-        ["a", "b"]).reset_index(drop=True)
+    out = _verify_jaccard(ds, cand, min_jaccard)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
