@@ -894,16 +894,21 @@ def knn_join(keyed: ray.data.Dataset, k: int,
         for s in range(0, len(hidx), chunk):
             q = hidx[s:s + chunk]
             D = geom.hausdorff_block(segs[q], segs)
+            D[np.arange(len(q)), q] = np.inf  # exclude self
+            m = D.shape[1]
+            kb = min(k + 8, m)  # buffer absorbs (dist, seg_id) tie ordering
+            part = np.argpartition(D, kb - 1, axis=1)[:, :kb] if kb < m \
+                else np.tile(np.arange(m), (len(q), 1))
             for r_loc, h in enumerate(q):
-                d = D[r_loc].copy()
-                d[h] = np.inf  # exclude self
-                order = np.lexsort((seg_ids, d))[: k]
+                cand = part[r_loc]
+                d = D[r_loc][cand]
+                order = cand[np.lexsort((seg_ids[cand], d))][:k]
                 for rank, j in enumerate(order):
-                    if np.isfinite(d[j]):
+                    if np.isfinite(D[r_loc, j]):
                         rows["seg_id"].append(int(seg_ids[h]))
                         rows["nbr_id"].append(int(seg_ids[j]))
                         rows["rank"].append(rank)
-                        rows["dist"].append(float(d[j]))
+                        rows["dist"].append(float(D[r_loc, j]))
         return pd.DataFrame(rows).astype(
             {"seg_id": "int64", "nbr_id": "int64", "rank": "int64", "dist": "float64"}
         ) if rows["seg_id"] else pd.DataFrame(
