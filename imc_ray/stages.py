@@ -582,6 +582,122 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
     return out.to_pandas()
 
 
+def dbscan_links_ds(keyed2m: ray.data.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Dataset-returning variant of :func:`dbscan_links` (feeds the fully
+    distributed merge path)."""
+    import ray.data as _rd
+
+    df = dbscan_links(keyed2m, cfg)
+    return _rd.from_pandas(df) if len(df) else _rd.from_items(
+        [{"seg_id": 0, "traj_id": "", "kind": -1, "ref": 0}]).filter(
+            lambda r: r["kind"] >= 0)
+
+
+def merge_labels_distributed(links: ray.data.Dataset,
+                             segments: ray.data.Dataset,
+                             cfg: PipelineConfig = DEFAULT_CONFIG,
+                             max_rounds: int = 20) -> ray.data.Dataset:
+    """C3+C4 with NO driver materialization of per-segment data — the path
+    that holds at 10^12 rows (the default pipeline uses the driver-side
+    vectorized merge, which is faster at sandbox scale; equality of the two
+    is asserted in tests).
+
+    Iterative distributed min-label propagation:
+      1. core links → undirected edge dataset + self edges
+      2. repeat: lab(node) ← min(lab(node), min over neighbors' lab)
+         via join + groupby-min; labels decrease monotonically, so a stable
+         global Sum(lab) certifies the fixpoint (one cheap scalar per round)
+      3. borders join the min component of their adjacent cores
+      4. canonicalize cluster_id = min member seg_id (groupby-min + join)
+      5. trajectory-cardinality filter via two-level distinct groupby
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    npart = 8
+    core = links.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 0)),
+        batch_format="pyarrow")
+    border = links.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 1)),
+        batch_format="pyarrow")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["seg_id"].to_numpy()
+        b = t["ref"].to_numpy()
+        node = np.concatenate([a, b, a, b])
+        nbr = np.concatenate([b, a, a, b])  # both directions + self edges
+        return pa.table({"node": pa.array(node, type=pa.int64()),
+                         "nbr": pa.array(nbr, type=pa.int64())})
+
+    edges = core.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # .repartition(1) after each aggregate: Ray's hash aggregate emits empty
+    # partitions with a degenerate schema that the acero join rejects; the
+    # repartition folds them away (link-scale data — one block is fine here,
+    # a larger count at true scale)
+    lab = (edges.groupby("node").aggregate(_Min("nbr", alias_name="lab"))
+           .repartition(1).materialize())
+    def _exact_sum(ds):
+        # labels are ~2^63: split into hi/lo 31-bit partial sums (exact in
+        # int64 per batch) and reassemble as a Python int on the driver, so
+        # the monotone-decrease fixpoint test is exact
+        parts = ds.map_batches(
+            lambda t: pa.table({
+                "hi": pa.array([int((t["lab"].to_numpy() >> 31).sum())]),
+                "lo": pa.array([int((t["lab"].to_numpy()
+                                     & np.int64(0x7FFFFFFF)).sum())]),
+            }),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return (int(parts["hi"].sum()) << 31) + int(parts["lo"].sum())
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        s = _exact_sum(lab)
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+        prop = edges.join(lab, join_type="inner", num_partitions=npart,
+                          on=("nbr",), right_on=("node",),
+                          left_suffix="_e", right_suffix="_l")
+        lab = (prop.groupby("node").aggregate(_Min("lab", alias_name="lab"))
+               .repartition(1).materialize())
+    # borders attach to min adjacent component
+    blab = border.join(lab, join_type="inner", num_partitions=npart,
+                       on=("ref",), right_on=("node",))
+    blab = (blab.groupby("seg_id").aggregate(_Min("lab", alias_name="lab"))
+            .repartition(1))
+    core_lab = lab.map_batches(
+        lambda t: pa.table({"seg_id": t["node"], "lab": t["lab"]}),
+        batch_format="pyarrow")
+    members = core_lab.union(blab)
+    # canonical cluster id = min member seg_id
+    canon = (members.groupby("lab")
+             .aggregate(_Min("seg_id", alias_name="canon")).repartition(1))
+    members = members.join(canon, join_type="inner", num_partitions=npart,
+                           on=("lab",))
+    labeled = members.map_batches(
+        lambda t: pa.table({"seg_id": t["seg_id"],
+                            "cluster_id": t["canon"]}),
+        batch_format="pyarrow").materialize()
+    # cardinality: distinct trajectories per cluster via segments join
+    segs = segments.select_columns(["seg_id", "traj_id"])
+    with_traj = labeled.join(segs, join_type="inner", num_partitions=npart,
+                             on=("seg_id",))
+    pairs = with_traj.groupby(["cluster_id", "traj_id"]).aggregate(
+        _Count(alias_name="c"))
+    counts = (pairs.groupby("cluster_id").aggregate(
+        _Count(alias_name="n_trajs")).repartition(1).materialize())
+    ok = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n_trajs"],
+                                                    cfg.min_lns)),
+        batch_format="pyarrow")
+    out = labeled.join(ok.select_columns(["cluster_id"]), join_type="inner",
+                       num_partitions=npart, on=("cluster_id",))
+    return out.select_columns(["seg_id", "cluster_id"])
+
+
 def merge_labels(links: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """C3+C4 on the driver: vectorized min-label propagation over the thin
     link set → canonical labels (min member seg_id) → trajectory-cardinality
