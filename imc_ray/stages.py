@@ -136,7 +136,8 @@ def extract_pages(ds: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                 if w != g:
                     raise AssertionError(f"extract_text not byte-identical for {u}")
         if langs is not None:
-            mask = pa.array([l in langs for l in out["lang"].to_pylist()])
+            mask = pa.compute.is_in(out["lang"],
+                                    value_set=pa.array(sorted(langs)))
             out = out.filter(mask)
         return out
 
