@@ -43,6 +43,36 @@ def _decode_real(payload: bytes, media_type: str):
     )
 
 
+def _resize_real(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize hook — requires codecs, absent here."""
+    raise NotImplementedError("image codecs unavailable; see module docstring")
+
+
+def _frame_sample_real(payload: bytes, every_ms: int) -> list:
+    """Real video frame-sampling hook — requires codecs, absent here."""
+    raise NotImplementedError("video codecs unavailable; see module docstring")
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: stride-samples the payload bytes to
+    width*height bytes (keeps the actor/batch plumbing real)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = max(width * height, 1)
+    if len(arr) == 0:
+        return bytes(n)
+    idx = (np.arange(n) * len(arr)) // n
+    return arr[idx].tobytes()
+
+
+def fake_frame_sample(payload: bytes, n_frames: int = 4) -> list:
+    """Deterministic stand-in frame sampler: n_frames equal byte slices."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0 or n_frames < 1:
+        return []
+    bounds = np.linspace(0, len(arr), n_frames + 1).astype(int)
+    return [arr[bounds[i]:bounds[i + 1]].tobytes() for i in range(n_frames)]
+
+
 def fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in featurizer: 16-bin byte histogram (L1-normed)
     + log length + byte entropy.  Pure function of the payload bytes."""

@@ -136,10 +136,23 @@ class TestMultimodal:
         assert len(fake_features(b"")) == 18
 
     def test_real_decode_is_stubbed(self):
-        from imc_ray.multimodal import _decode_real
+        from imc_ray.multimodal import _decode_real, _frame_sample_real, _resize_real
 
-        with pytest.raises(NotImplementedError):
-            _decode_real(b"payload", "image")
+        for fn, args in ((_decode_real, (b"p", "image")),
+                         (_resize_real, (b"p", 8, 8)),
+                         (_frame_sample_real, (b"p", 100))):
+            with pytest.raises(NotImplementedError):
+                fn(*args)
+
+    def test_fake_resize_and_frame_sample(self):
+        from imc_ray.multimodal import fake_frame_sample, fake_resize
+
+        out = fake_resize(b"0123456789", 4, 2)
+        assert len(out) == 8
+        assert fake_resize(b"0123456789", 4, 2) == out  # deterministic
+        frames = fake_frame_sample(b"abcdefgh", 4)
+        assert len(frames) == 4 and b"".join(frames) == b"abcdefgh"
+        assert fake_frame_sample(b"", 4) == []
 
 
 class TestKnnJoin:
