@@ -154,6 +154,35 @@ def test_distributed_merge_equals_driver_merge(ray_session, gold):
     assert list(drv["cluster_id"]) == list(dist["cluster_id"])
 
 
+def test_distributed_merge_with_salting(ray_session):
+    """Distributed merge under forced salting — salted sub-buckets emit
+    partial components that the propagation rounds must stitch."""
+    from imc_ray import stages
+    from imc_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(coarse_cell=64.0, salt_cap=30)
+    pages = stages.synth_pages(N_DOCS, seed=42).materialize()
+    extracted = stages.extract_pages(stages.dedup_pages(pages), cfg)
+    segments = stages.encode_cells(
+        stages.build_segments(extracted, cfg).materialize(), cfg
+    ).materialize()
+    telemetry = stages.cell_telemetry(segments)
+    salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
+    assert salt_map  # salting active
+    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg,
+                                        radius_mult=2.0).materialize()
+    links = stages.dbscan_links(keyed, cfg)
+    drv = stages.merge_labels(links, cfg)[["seg_id", "cluster_id"]] \
+        .sort_values("seg_id").reset_index(drop=True)
+
+    import ray.data as rd
+
+    dist = (stages.merge_labels_distributed(rd.from_pandas(links), segments, cfg)
+            .to_pandas().sort_values("seg_id").reset_index(drop=True))
+    assert list(drv["seg_id"]) == list(dist["seg_id"])
+    assert list(drv["cluster_id"]) == list(dist["cluster_id"])
+
+
 def _assert_match_labels_only(res, gold):
     eng = pipeline.full_labels(res)
     gl = _gold_labels(gold)
