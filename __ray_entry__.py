@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nations": R.supplier_nations,
         "running_total_per_user": R.running_total_per_user,
         "sessionize_events": R.sessionize_events,
+        "sliding_window_counts": R.sliding_window_counts,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -327,6 +328,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 2)
                        AS running_value
+            FROM events ORDER BY event_id
+        """,
+        "sliding_window_counts": """
+            SELECT event_id,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                       RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                       AS n_trailing_10m
             FROM events ORDER BY event_id
         """,
         "sessionize_events": """

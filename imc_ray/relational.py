@@ -439,6 +439,27 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def sliding_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Sliding window: events per user in the trailing 600 s (inclusive of
+    the current event) — sorted two-pointer sweep per user group."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        # normalize to ns explicitly — pandas 2.x preserves the Arrow [us]
+        # unit, so a bare astype(int64) would be microseconds
+        ts = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        lo = np.searchsorted(ts, ts - 600 * 10**9, side="left")
+        # SQL RANGE frames end at the last PEER (equal-ts row), not the
+        # current row position — count the full [t-600s, t] value range
+        hi = np.searchsorted(ts, ts, side="right")
+        g["n_trailing_10m"] = (hi - lo).astype("int64")
+        return g[["event_id", "n_trailing_10m"]]
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (§2.9): dates, JSON, strings, arrays
 # ---------------------------------------------------------------------------
