@@ -472,17 +472,16 @@ def dbscan_segments(segs: np.ndarray, seg_ids: np.ndarray, traj_ids: np.ndarray,
         return labels
     is_core = np.zeros(n, dtype=bool)
     uf = UnionFind()
-    border_min: dict = {}
-    # pass 1: core flags
+    # pass 1: core flags (f32-prefiltered masks — decisions are exact f64)
     for s in range(0, n, chunk):
-        D = seg_distance_block(segs[s:s + chunk], segs, w)
-        is_core[s:s + chunk] = (D <= eps).sum(axis=1) >= min_lns
+        close = close_pair_mask(segs[s:s + chunk], segs, eps, w)
+        is_core[s:s + chunk] = close.sum(axis=1) >= min_lns
     core_idx = np.nonzero(is_core)[0]
     # pass 2: core-core edges
     for s in range(0, len(core_idx), chunk):
         q = core_idx[s:s + chunk]
-        D = seg_distance_block(segs[q], segs[core_idx], w)
-        rows, cols = np.nonzero(D <= eps)
+        close = close_pair_mask(segs[q], segs[core_idx], eps, w)
+        rows, cols = np.nonzero(close)
         for r, c in zip(q[rows], core_idx[cols]):
             if r != c:
                 uf.union(int(seg_ids[r]), int(seg_ids[c]))
@@ -495,9 +494,9 @@ def dbscan_segments(segs: np.ndarray, seg_ids: np.ndarray, traj_ids: np.ndarray,
         q = non_core[s:s + chunk]
         if len(core_idx) == 0:
             break
-        D = seg_distance_block(segs[q], segs[core_idx], w)
+        close = close_pair_mask(segs[q], segs[core_idx], eps, w)
         for k, i in enumerate(q):
-            nbr = np.nonzero(D[k] <= eps)[0]
+            nbr = np.nonzero(close[k])[0]
             if len(nbr):
                 labels[i] = min(comp[int(seg_ids[core_idx[j]])] for j in nbr)
     # pass 4: canonicalize to min member seg_id, then cardinality filter

@@ -297,27 +297,25 @@ def anti_join_customers(sf_dir: str) -> pd.DataFrame:
 
 
 def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q6-style filter-aggregate: date range + discount band + quantity
-    cap, pushed as one vectorized Arrow predicate."""
-    ds = read_table(sf_dir, "lineitem",
-                    columns=["l_shipdate", "l_discount", "l_quantity",
-                             "l_extendedprice"])
+    """TPC-H Q6-style filter-aggregate with the predicate pushed INTO the
+    parquet read (row-group pruning at the source — SURVEY 'prune at the
+    read'); only surviving rows ever enter the object store."""
+    import pyarrow.dataset as pads
+
+    expr = (
+        (pads.field("l_shipdate") >= np.datetime64("1996-01-01", "us"))
+        & (pads.field("l_shipdate") < np.datetime64("1997-01-01", "us"))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_discount", "l_extendedprice"],
+        filter=expr,
+    )
 
     def f(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.and_(
-                pc.greater_equal(t["l_shipdate"],
-                                 pa.scalar(np.datetime64("1996-01-01", "us"))),
-                pc.less(t["l_shipdate"],
-                        pa.scalar(np.datetime64("1997-01-01", "us"))),
-            ),
-            pc.and_(
-                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
-                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
-                pc.less(t["l_quantity"], pa.scalar(24.0)),
-            ),
-        )
-        t = t.filter(m)
         rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
         return pa.table({"rev": rev})
 
