@@ -107,6 +107,39 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     }
 
 
+def run_from_points(points: ray.data.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Flagship from a POINTS source (e.g. ``stages.read_tracks_csv`` — the
+    reference's native trajectory-file input): one groupby(traj_id) shuffle
+    builds segments, then clustering / representatives / tiles / spatial
+    join are the same stages as the pages path (identical deterministic
+    outputs for the same point set — asserted in tests)."""
+    points = points.materialize()  # consumed by segments and tiles branches
+    segments = stages.segments_from_points(points, cfg).materialize()
+    segments = stages.encode_cells(segments, cfg).materialize()
+    telemetry = stages.cell_telemetry(segments)
+    salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
+    keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
+    links = stages.dbscan_links(keyed, cfg)
+    labels = stages.merge_labels(links, cfg)
+    labeled = stages.assign_labels(segments, labels)
+    reps_ds = stages.build_representatives(labeled, cfg).materialize()
+    polys_ds = stages.build_polygons(reps_ds, cfg)
+    reps = reps_ds.to_pandas()
+    polys = polys_ds.to_pandas()
+    tiles = stages.build_tiles(points, cfg)
+    tile_cluster = stages.spatial_join(tiles, polys, cfg)
+    return {
+        "segments": segments,
+        "labels": labels[["seg_id", "cluster_id"]].reset_index(drop=True),
+        "representatives": reps,
+        "polygons": polys,
+        "tiles": tiles,
+        "tile_cluster": tile_cluster,
+        "telemetry": telemetry,
+    }
+
+
 def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
               k: int = 3) -> ray.data.Dataset:
     """J4 standalone: segment-Hausdorff kNN join over the cell+halo keyed

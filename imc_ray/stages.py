@@ -153,6 +153,29 @@ def parse_points(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(extract.parse_tracks_batch, batch_format="pyarrow")
 
 
+def _traj_segments(traj_id: str, pts: np.ndarray, cfg: PipelineConfig, out: dict):
+    """Clean + MDL + split one trajectory into ``out`` column accumulators
+    (shared by the fused page path and the CSV/points path — identical
+    deterministic seg_ids either way)."""
+    keep = np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0.0, axis=1)])
+    pts = pts[keep]
+    if len(pts) < 2:
+        return
+    cps = geom.mdl_partition(pts, cfg.mdl_clamp)
+    raw = np.column_stack(
+        [pts[cps[:-1], 0], pts[cps[:-1], 1], pts[cps[1:], 0], pts[cps[1:], 1]]
+    )
+    split, parent, part = geom.split_long_segments(raw, cfg.max_seg_len)
+    names = [f"{traj_id}#{int(parent[i])}#{int(part[i])}"
+             for i in range(len(split))]
+    out["seg_id"].append(geom.stable_hash64(names))
+    out["traj_id"].append(np.full(len(split), traj_id, dtype=object))
+    out["x1"].append(split[:, 0])
+    out["y1"].append(split[:, 1])
+    out["x2"].append(split[:, 2])
+    out["y2"].append(split[:, 3])
+
+
 def _segments_from_text_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Fused parse → clean → MDL → split → seg features for one batch.
 
@@ -164,24 +187,7 @@ def _segments_from_text_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
         for traj_id, lat, lon, _ts in extract.parse_tracks(url, text, with_ts=False):
             x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
-            pts = np.column_stack([x, y])
-            keep = np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0.0, axis=1)])
-            pts = pts[keep]
-            if len(pts) < 2:
-                continue
-            cps = geom.mdl_partition(pts, cfg.mdl_clamp)
-            raw = np.column_stack(
-                [pts[cps[:-1], 0], pts[cps[:-1], 1], pts[cps[1:], 0], pts[cps[1:], 1]]
-            )
-            split, parent, part = geom.split_long_segments(raw, cfg.max_seg_len)
-            names = [f"{traj_id}#{int(parent[i])}#{int(part[i])}"
-                     for i in range(len(split))]
-            out["seg_id"].append(geom.stable_hash64(names))
-            out["traj_id"].append(np.full(len(split), traj_id, dtype=object))
-            out["x1"].append(split[:, 0])
-            out["y1"].append(split[:, 1])
-            out["x2"].append(split[:, 2])
-            out["y2"].append(split[:, 3])
+            _traj_segments(traj_id, np.column_stack([x, y]), cfg, out)
     if not out["seg_id"]:
         return _empty_segments()
     cols = {k: np.concatenate(v) for k, v in out.items()}
@@ -214,6 +220,59 @@ def _empty_segments() -> pa.Table:
             "angle": pa.array([], type=pa.float64()),
         }
     )
+
+
+def read_tracks_csv(path: str) -> ray.data.Dataset:
+    """Alternate source mirroring the reference's native input: CSV
+    trajectory files with columns (traj_id, seq, lat, lon, ts) → POINTS rows
+    (projected planar meters)."""
+    ds = ray.data.read_csv(path)
+
+    def f(t: pa.Table) -> pa.Table:
+        x, y = geom.project_xy(
+            t["lat"].to_numpy(), t["lon"].to_numpy(),
+            extract.ANCHOR_LAT, extract.ANCHOR_LON,
+        )
+        return pa.table({
+            "traj_id": pa.compute.cast(t["traj_id"], pa.string()),
+            "seq": pa.compute.cast(t["seq"], pa.int32()),
+            "x": pa.array(x, type=pa.float64()),
+            "y": pa.array(y, type=pa.float64()),
+            "t": pa.compute.cast(t["ts"], pa.timestamp("us"))
+            if "ts" in t.column_names else pa.nulls(t.num_rows, pa.timestamp("us")),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def segments_from_points(points: ray.data.Dataset,
+                         cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Generic M5+M6 for inputs where a trajectory's points are NOT
+    colocated (CSV/points sources): one groupby(traj_id) shuffle colocates
+    each trajectory, then the same deterministic MDL/split as the fused page
+    path — identical seg_ids, so all downstream stages are shared."""
+
+    def per_traj(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="stable")
+        out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
+        _traj_segments(str(g["traj_id"].iloc[0]),
+                       g[["x", "y"]].to_numpy(dtype=np.float64), cfg, out)
+        if not out["seg_id"]:
+            return pd.DataFrame({
+                "seg_id": pd.Series(dtype="int64"),
+                "traj_id": pd.Series(dtype="object"),
+                "x1": pd.Series(dtype="float64"), "y1": pd.Series(dtype="float64"),
+                "x2": pd.Series(dtype="float64"), "y2": pd.Series(dtype="float64"),
+                "seg_len": pd.Series(dtype="float64"),
+                "angle": pd.Series(dtype="float64"),
+            })
+        cols = {k: np.concatenate(v) for k, v in out.items()}
+        df = pd.DataFrame(cols)
+        df["seg_len"] = np.hypot(df.x2 - df.x1, df.y2 - df.y1)
+        df["angle"] = np.arctan2(df.y2 - df.y1, df.x2 - df.x1)
+        return df
+
+    return points.groupby("traj_id").map_groups(per_traj, batch_format="pandas")
 
 
 def build_segments(extracted: ray.data.Dataset,
