@@ -222,6 +222,26 @@ def _empty_segments() -> pa.Table:
     )
 
 
+def read_pages_json(path: str) -> ray.data.Dataset:
+    """Pages corpus from JSONL (url, warc_ts, html_b64, text, lang) — the
+    html payload is base64 in JSON; decoded to binary on read."""
+    import base64
+
+    ds = ray.data.read_json(path)
+
+    def f(t: pa.Table) -> pa.Table:
+        html = [base64.b64decode(h) for h in t["html_b64"].to_pylist()]
+        return pa.table({
+            "url": pa.compute.cast(t["url"], pa.string()),
+            "warc_ts": pa.compute.cast(t["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(html, type=pa.binary()),
+            "text": pa.compute.cast(t["text"], pa.large_string()),
+            "lang": pa.compute.cast(t["lang"], pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def read_tracks_csv(path: str) -> ray.data.Dataset:
     """Alternate source mirroring the reference's native input: CSV
     trajectory files with columns (traj_id, seq, lat, lon, ts) → POINTS rows

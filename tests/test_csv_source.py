@@ -33,6 +33,31 @@ def _points_csv(tmp_path):
     return str(p), pts
 
 
+def test_jsonl_pages_source(ray_session, tmp_path):
+    """JSONL pages source round-trips into the standard pipeline."""
+    import base64
+    import json
+
+    pages = extract.synth_pages_table(30, seed=42)
+    p = tmp_path / "pages.jsonl"
+    with open(p, "w") as f:
+        for i in range(pages.num_rows):
+            f.write(json.dumps({
+                "url": pages["url"][i].as_py(),
+                "warc_ts": pages["warc_ts"][i].as_py().isoformat(),
+                "html_b64": base64.b64encode(pages["html"][i].as_py()).decode(),
+                "text": pages["text"][i].as_py(),
+                "lang": pages["lang"][i].as_py(),
+            }) + "\n")
+    ds = stages.read_pages_json(str(p))
+    res = pipeline.run(ds, PipelineConfig())
+    gold = oracle.run(pages)
+    eng = pipeline.full_labels(res)
+    gl = gold["labels"].sort_values("seg_id").reset_index(drop=True)
+    m = eng.merge(gl, on="seg_id", suffixes=("_e", "_g"))
+    assert len(m) == len(gl) and int((m.cluster_id_e != m.cluster_id_g).sum()) == 0
+
+
 def test_csv_source_matches_pages_path(ray_session, tmp_path):
     csv_path, _ = _points_csv(tmp_path)
     cfg = PipelineConfig()
