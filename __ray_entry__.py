@@ -307,7 +307,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_get_stats": r"""
             SELECT event_type,
-                   sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+                   CAST(sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
         """,

@@ -213,25 +213,27 @@ def sample_orders_count(sf_dir: str) -> pd.DataFrame:
 
 def dedup_documents(sf_dir: str) -> pd.DataFrame:
     """Exact dedup by content hash: one survivor (min doc_id) per distinct
-    text — hash-partitioned groupby + per-group first (SURVEY §2.8 D1)."""
+    text — hash-partitioned groupby + per-group first (SURVEY §2.8 D1).
+
+    The group key is a pair of independently-keyed 64-bit SipHashes of the
+    text (128 effective bits): birthday-bound collision probability at
+    10^12 rows is ~2^-49, vs ~0.3 for a single 63-bit hash — so grouping by
+    the digest pair is exact for all practical corpus sizes while shuffling
+    only 16 bytes of key per row instead of the full text."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = pc.hash(t["text"]) if hasattr(pc, "hash") else None
-        if h is None:
-            import hashlib
-
-            h = pa.array(
-                [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                                "big") >> 1
-                 for s in t["text"].to_pylist()],
-                type=pa.int64(),
-            )
-        return t.append_column("h", h)
+        s = t["text"].to_pandas()
+        h1 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="imcray-dedup-h1-").to_numpy().view(np.int64)
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="imcray-dedup-h2-").to_numpy().view(np.int64)
+        return (t.append_column("h1", pa.array(h1))
+                 .append_column("h2", pa.array(h2)))
 
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
         .to_pandas()
     )
@@ -258,15 +260,15 @@ def union_orders(sf_dir: str) -> pd.DataFrame:
 _BIG_ORDER = 350000.0
 
 
-def _big_order_custkeys(sf_dir: str) -> set:
+def _big_order_custkeys(sf_dir: str) -> pa.Array:
     """Distinct customers holding a 'big' order — the broadcast key set for
-    the semi/anti joins (J6)."""
+    the semi/anti joins (J6), as an Arrow int64 array for ``pc.is_in``."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     keys = ds.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(_BIG_ORDER))),
         batch_format="pyarrow",
     ).unique("o_custkey")
-    return set(int(k) for k in keys)
+    return pa.array(sorted(int(k) for k in keys), type=pa.int64())
 
 
 def _key_filter_customers(sf_dir: str, keep_in: bool) -> pd.DataFrame:
@@ -274,9 +276,10 @@ def _key_filter_customers(sf_dir: str, keep_in: bool) -> pd.DataFrame:
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def f(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([(int(k) in keys) == keep_in
-                         for k in t["c_custkey"].to_pylist()])
+        # vectorized membership: Arrow is_in against the broadcast key set
+        mask = pc.is_in(t["c_custkey"], value_set=ray.get(keys_ref))
+        if not keep_in:
+            mask = pc.invert(mask)
         return t.filter(mask)
 
     out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
