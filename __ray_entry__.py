@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_check": R.doc_length_check,
         "embedding_norms": R.embedding_norms,
         "sample_orders_count": R.sample_orders_count,
+        "left_join_customer_orders": R.left_join_customer_orders,
         "q6_revenue_delta": R.q6_revenue_delta,
         "distinct_users_per_type": R.distinct_users_per_type,
         "lang_set_ops": R.lang_set_ops,
@@ -386,6 +387,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round({_sm} / (sqrt({_sq}) * sqrt(len(embedding))), 4) AS cos_ones
             FROM embeddings ORDER BY vec_id
+        """,
+        "left_join_customer_orders": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(coalesce(s.n_big, 0) AS BIGINT)   AS n_big,
+                   round(coalesce(s.total_big, 0.0), 2)   AS total_big
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_big,
+                       sum(o_totalprice)   AS total_big
+                FROM orders WHERE o_totalprice > 250000
+                GROUP BY o_custkey
+            ) s ON c.c_custkey = s.o_custkey
+            ORDER BY c.c_custkey
+        """,
+        "knn_brute_force": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), pairs AS (
+                SELECT q.query_id, e.vec_id,
+                       list_sum(list_transform(
+                           list_zip(e.embedding, q.qe),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x*x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe,
+                                x -> CAST(x*x AS DOUBLE))))) AS cos_raw
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, vec_id,
+                   round(cos_raw, 4) AS cos
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rn
+                FROM pairs
+            )
+            WHERE rn <= 5
+            ORDER BY query_id, rn
         """,
         "ann_topk_ones": f"""
             SELECT CAST(row_number() OVER (ORDER BY cos_raw DESC, vec_id) - 1 AS BIGINT) AS rank,

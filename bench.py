@@ -59,17 +59,29 @@ def run_bench() -> dict:
         return out
 
     # --- flagship geometry pipeline over the synthetic web corpus ---------
+    # median of 3 runs: round-1 showed ~25% run-to-run variance on this box,
+    # so single-shot round-over-round deltas were meaningless
     cfg = PipelineConfig()
-    t0 = time.time()
-    pages = stages.synth_pages(SYNTH_DOCS, seed=42, n_sites=SYNTH_SITES,
-                               override_num_blocks=max(NUM_CPUS * 4, 32))
-    res = pipeline.run(pages, cfg)
-    n_join_rows = res["tile_cluster"].count()
-    flagship_s = time.time() - t0
+    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    flagship_times = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        pages = stages.synth_pages(SYNTH_DOCS, seed=42, n_sites=SYNTH_SITES,
+                                   override_num_blocks=max(NUM_CPUS * 4, 32))
+        res = pipeline.run(pages, cfg)
+        n_join_rows = res["tile_cluster"].count()
+        flagship_times.append(time.time() - t0)
+    import numpy as _np_
+
+    flagship_s = float(_np_.median(flagship_times))
     queries["flagship_synth_pages"] = round(flagship_s, 3)
-    n_trajs = int(
-        res["segments"].to_pandas()["traj_id"].nunique()
-    )
+    throughput["flagship_runs_sec"] = [round(t, 3) for t in flagship_times]
+    # distinct trajectories via a Dataset aggregate — no driver-side
+    # materialization of per-segment data (round-1 review item 9)
+    from ray.data.aggregate import Count as _Count
+
+    n_trajs = int(res["segments"].select_columns(["traj_id"])
+                  .groupby("traj_id").aggregate(_Count(alias_name="c")).count())
     throughput["trajectories_clustered_per_s"] = round(n_trajs / flagship_s, 1)
     throughput["spatial_join_rows_per_s"] = round(n_join_rows / flagship_s, 1)
     throughput["n_trajectories"] = n_trajs
@@ -155,8 +167,10 @@ def run_flagship_only() -> dict:
     )
     n_join = res["tile_cluster"].count()
     dt = time.time() - t0
-    n_trajs = int(res["segments"].select_columns(["traj_id"]).to_pandas()
-                  ["traj_id"].nunique())
+    from ray.data.aggregate import Count as _Count
+
+    n_trajs = int(res["segments"].select_columns(["traj_id"])
+                  .groupby("traj_id").aggregate(_Count(alias_name="c")).count())
     out = {
         "value": round(dt, 3),
         "unit": "sec",

@@ -47,8 +47,12 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(ckpt_root=args.ckpt, run_id=args.run_id)
     pages = (stages.synth_pages(args.synth, seed=42, n_sites=args.sites)
              if args.synth else stages.read_pages(args.pages))
+    # source fingerprint enters the checkpoint lineage chain: a rerun with
+    # the same --ckpt but different input recomputes instead of reusing
+    source_token = (f"synth:{args.synth}:42:{args.sites}" if args.synth
+                    else f"pages:{args.pages}")
     t0 = time.time()
-    res = pipeline.run(pages, cfg)
+    res = pipeline.run(pages, cfg, source_token=source_token)
     paths = pipeline.write_map(res, args.out)
     summary = {
         "wall_s": round(time.time() - t0, 1),

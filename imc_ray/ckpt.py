@@ -32,6 +32,26 @@ def _manifest_path(root: str, run_id: str, stage: str) -> str:
     return os.path.join(_stage_dir(root, run_id, stage), "_manifest.json")
 
 
+def manifest_token(root: str, run_id: str, stage: str) -> str:
+    """Stable fingerprint of a completed stage — the value the NEXT stage
+    records as its ``upstream`` (round-1 review: validating only the upstream
+    stage NAME silently reused checkpoints across changed inputs).  Derived
+    from (stage, config_hash, upstream, rows) only: row count is a
+    deterministic function of input+config, while part sizes/filenames vary
+    with scheduling and would cascade spurious invalidations."""
+    import hashlib
+
+    p = _manifest_path(root, run_id, stage)
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return ""
+    payload = (f"{m.get('stage')}|{m.get('config_hash')}|"
+               f"{m.get('upstream')}|{m.get('rows')}")
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def manifest_ok(root: str, run_id: str, stage: str, config_hash: str,
                 upstream: str = "") -> bool:
     p = _manifest_path(root, run_id, stage)

@@ -47,6 +47,11 @@ class PipelineConfig:
     earth_radius: float = 6_371_000.0  # equirectangular projection radius
 
     # --- execution ---
+    driver_merge_max_links: int = 2_000_000
+    # link sets up to this size use the driver-side vectorized label merge
+    # (faster at sandbox scale); above it the pipeline routes through the
+    # fully-distributed join+groupby-min propagation with NO driver
+    # materialization (the 10^12-row path; equality asserted in tests)
     batch_size: int = 8192
     actor_pool: tuple = (1, 32)  # (min, max) actors for stateful stages —
                                  # autoscales down on small sessions

@@ -254,8 +254,14 @@ def close_pair_mask(A: np.ndarray, B: np.ndarray, eps: float,
     block — these kernels are DRAM-bound at high core counts) keeps pairs
     within ε + margin, then the exact float64 distance is evaluated only on
     the surviving pairs, so the ≤ ε decision is bit-identical to the pure-f64
-    path (and to the oracle).  The f32 margin covers worst-case rounding for
-    coordinates up to ~10^7 m."""
+    path (and to the oracle).  The margin is DERIVED FROM THE DATA: after the
+    centroid shift the worst-case f32 rounding of these kernels scales with
+    the largest shifted coordinate magnitude (round-1 review: a fixed margin
+    silently dropped true ε-pairs beyond ~10^6 m from the A-centroid);
+    maxabs·2^-18 + ε·10^-3 + 0.05 bounds it with ~30× headroom over the
+    ~maxabs·2^-23·C accumulation error (validated by the 10^6-10^7 m offset
+    property test in tests/test_kernels.py) — wider margins only send a few
+    extra pairs to the exact pass."""
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     # shift into a local frame before the f32 cast: raw projected coords are
@@ -263,14 +269,19 @@ def close_pair_mask(A: np.ndarray, B: np.ndarray, eps: float,
     cx = (A[:, 0].mean() + A[:, 2].mean()) * 0.5 if len(A) else 0.0
     cy = (A[:, 1].mean() + A[:, 3].mean()) * 0.5 if len(A) else 0.0
     shift = np.array([cx, cy, cx, cy])
-    A32 = (A - shift).astype(np.float32)
-    B32 = (B - shift).astype(np.float32)
+    As = A - shift
+    Bs = B - shift
+    maxabs = max(float(np.abs(As).max()) if As.size else 0.0,
+                 float(np.abs(Bs).max()) if Bs.size else 0.0)
+    A32 = As.astype(np.float32)
+    B32 = Bs.astype(np.float32)
     a32 = [A32[:, k][:, None] for k in range(4)]
     b32 = [B32[:, k][None, :] for k in range(4)]
     with np.errstate(invalid="ignore", divide="ignore"):
         d32 = _distance_core(a32, b32, w)
     # nan/inf from f32-degenerate inputs fall through to the exact pass
-    cand = ~(d32 > np.float32(eps * 1.001 + 0.05))
+    margin = eps * 1e-3 + 0.05 + maxabs * 2.0 ** -18
+    cand = ~(d32 > np.float32(eps + margin))
     ii, jj = np.nonzero(cand)
     out = np.zeros(d32.shape, dtype=bool)
     if len(ii):

@@ -1,0 +1,139 @@
+"""Distributed connected components over an edge Dataset (SURVEY §2.4 C3
+generalized) — the shared machinery for near-dup group assembly
+(minhash/embedding) so no union-find ever runs on the driver.
+
+Same join+groupby-min label-propagation scheme as
+:func:`imc_ray.stages.merge_labels_distributed` (which keeps its
+pipeline-specific border/cardinality logic): labels decrease monotonically
+each round, so a stable exact global sum certifies the fixpoint with one
+scalar per round.  Round count is O(diameter of the largest component) —
+near-dup components are tiny (dup clusters), so 2-4 rounds in practice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min
+
+from .util import join_partitions
+
+
+def _exact_label_sum(lab_ds: ray.data.Dataset, col: str) -> int:
+    """Exact Σ label over the Dataset: 31-bit hi/lo partial sums per batch
+    (int64-exact), reassembled as a Python int — labels can be ~2^63."""
+    parts = lab_ds.map_batches(
+        lambda t: pa.table({
+            "hi": pa.array([int((t[col].to_numpy() >> 31).sum())]),
+            "lo": pa.array([int((t[col].to_numpy()
+                                 & np.int64(0x7FFFFFFF)).sum())]),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return (int(parts["hi"].sum()) << 31) + int(parts["lo"].sum())
+
+
+def dedupe_pairs(pairs: ray.data.Dataset, a: str = "a",
+                 b: str = "b") -> ray.data.Dataset:
+    """Global (a, b) pair dedupe via one keys-only groupby — pairs surfacing
+    from multiple LSH bands / probe buckets collapse to one edge.  Caller
+    must ensure ``pairs`` is non-empty (an empty map_groups output has no
+    schema for the groupby)."""
+    from ray.data.aggregate import Count
+
+    return (pairs.groupby([a, b]).aggregate(Count(alias_name="_n"))
+            .select_columns([a, b]))
+
+
+def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
+                         num_partitions: int | None = None,
+                         max_rounds: int = 30) -> ray.data.Dataset:
+    """(a, b) edge Dataset → (node, comp) for every node incident to an edge;
+    comp = min node id in the component (matches the driver UnionFind whose
+    smaller id wins as root — equality asserted in tests)."""
+    if num_partitions is None:
+        num_partitions = join_partitions()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        x = t[a].to_numpy().astype(np.int64)
+        y = t[b].to_numpy().astype(np.int64)
+        node = np.concatenate([x, y, x, y])
+        nbr = np.concatenate([y, x, x, y])  # both directions + self edges
+        return pa.table({"node": pa.array(node, type=pa.int64()),
+                         "nbr": pa.array(nbr, type=pa.int64())})
+
+    edge_ds = edges.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # .repartition(1) folds away the degenerate-schema empty partitions Ray's
+    # hash aggregate emits (they break the downstream acero join); the label
+    # table is one row per distinct node — small relative to the corpus
+    lab = (edge_ds.groupby("node").aggregate(Min("nbr", alias_name="comp"))
+           .repartition(1).materialize())
+    prev = None
+    for _ in range(max_rounds):
+        s = _exact_label_sum(lab, "comp")
+        if prev is not None and s == prev:
+            break
+        prev = s
+        prop = edge_ds.join(lab, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("nbr",), right_on=("node",),
+                            left_suffix="_e", right_suffix="_l")
+        lab = (prop.groupby("node").aggregate(Min("comp", alias_name="comp"))
+               .repartition(1).materialize())
+    return lab
+
+
+def assign_groups(ids: ray.data.Dataset, comps: ray.data.Dataset,
+                  id_col: str, group_col: str,
+                  num_partitions: int | None = None) -> ray.data.Dataset:
+    """LEFT OUTER hash join of every id onto its component; ids with no
+    near-dup edge get group = their own id (one output row per input id —
+    the near-dup ops' output contract)."""
+    if comps.count() == 0:
+        # join on an empty/degenerate-schema side breaks acero — short-circuit
+        def own(t: pa.Table) -> pa.Table:
+            v = pc.cast(t[id_col], pa.int64())
+            return pa.table({id_col: v, group_col: v})
+
+        return ids.map_batches(own, batch_format="pyarrow")
+    joined = ids.join(comps, join_type="left_outer",
+                      num_partitions=num_partitions or join_partitions(),
+                      on=(id_col,), right_on=("node",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        comp = pc.cast(t["comp"], pa.int64()) if t.num_rows else t["comp"]
+        grp = pc.coalesce(comp, pc.cast(t[id_col], pa.int64()))
+        return pa.table({id_col: t[id_col], group_col: grp})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def components_frame(ids: ray.data.Dataset, edges: ray.data.Dataset,
+                     id_col: str, group_col: str) -> pd.DataFrame:
+    """Full distributed near-dup group assembly → small sorted DataFrame
+    (the queries() compare surface; the Dataset path is `assign_groups`)."""
+    comps = connected_components(edges)
+    out = assign_groups(ids, comps, id_col, group_col).to_pandas()
+    if id_col not in out.columns:  # empty input loses its schema
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             group_col: pd.Series(dtype="int64")})
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def components_frame_empty(ids: ray.data.Dataset, id_col: str,
+                           group_col: str) -> pd.DataFrame:
+    """No edges → every id is its own group (short-circuits the join, which
+    rejects an empty/degenerate-schema edge side)."""
+
+    def own(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[id_col], pa.int64())
+        return pa.table({id_col: v, group_col: v})
+
+    out = ids.map_batches(own, batch_format="pyarrow").to_pandas()
+    if id_col not in out.columns:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             group_col: pd.Series(dtype="int64")})
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -28,34 +28,68 @@ def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = "",
     stages consumed by MULTIPLE downstream branches (``pin=True``),
     materialize into the object store so the lineage isn't re-executed per
     consumer.  At production scale the disk checkpoint is the right pin; the
-    object-store pin is the test/bench fast path."""
+    object-store pin is the test/bench fast path.
+
+    Returns (dataset, token): ``token`` fingerprints this stage's completed
+    manifest and is passed as the NEXT stage's ``upstream``, so the manifest
+    chain validates actual input lineage (source fingerprint → extracted →
+    segments → keyed), not just stage names."""
     if cfg.ckpt_root:
-        return ckpt.checkpoint_stage(
+        out = ckpt.checkpoint_stage(
             ds, cfg.ckpt_root, cfg.run_id, stage, cfg.config_hash(), upstream
         )
-    return ds.materialize() if pin else ds
+        return out, ckpt.manifest_token(cfg.ckpt_root, cfg.run_id, stage)
+    return (ds.materialize() if pin else ds), ""
+
+
+def _merge_and_assign(keyed: ray.data.Dataset, segments: ray.data.Dataset,
+                      cfg: PipelineConfig):
+    """C3+C4 routing (SURVEY §4.4): the DBSCAN link set stays a Dataset; its
+    COUNT (one scalar) picks the merge path.  Small link sets (≤
+    cfg.driver_merge_max_links) use the driver-side vectorized merge +
+    broadcast label assignment — faster at sandbox scale.  Larger ones route
+    through the fully-distributed join+groupby-min propagation and a native
+    left-outer hash join on seg_id, with no driver materialization of
+    per-segment data (the 10^12-row path; the two are asserted equal in
+    tests/test_golden.py).
+
+    Returns (labels, labeled_segments): ``labels`` is a DataFrame on the
+    driver path and a Dataset on the distributed path."""
+    links_ds = stages.dbscan_links_ds(keyed, cfg).materialize()
+    if links_ds.count() <= cfg.driver_merge_max_links:
+        labels = stages.merge_labels(links_ds.to_pandas(), cfg)
+        labeled = stages.assign_labels(segments, labels)
+        return labels[["seg_id", "cluster_id"]].reset_index(drop=True), labeled
+    labels_ds = stages.merge_labels_distributed(
+        links_ds, segments, cfg).materialize()
+    labeled = stages.assign_labels_ds(segments, labels_ds)
+    return labels_ds, labeled
 
 
 def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
-        verify_invariant: bool = False) -> dict:
+        verify_invariant: bool = False, source_token: str = "") -> dict:
     """Run the full map-construction pipeline; returns a dict with the
     output Datasets / DataFrames:
 
-    ``segments`` (Dataset), ``labels`` (DataFrame), ``representatives``
-    (DataFrame), ``polygons`` (DataFrame), ``tiles`` (Dataset),
-    ``tile_cluster`` (Dataset), ``telemetry`` (DataFrame).
+    ``segments`` (Dataset), ``labels`` (DataFrame on the driver-merge path /
+    Dataset on the distributed path), ``representatives`` (DataFrame),
+    ``polygons`` (DataFrame), ``tiles`` (Dataset), ``tile_cluster``
+    (Dataset), ``telemetry`` (DataFrame).
 
     ``verify_invariant=True`` asserts per row that the extracted text is
     byte-identical to the crawler-provided ``text`` column (the north-rule
-    invariant) while extracting.
+    invariant) while extracting.  ``source_token`` fingerprints the INPUT
+    (path / synth spec) into the checkpoint lineage chain so a rerun with the
+    same ckpt_root but a different source never reuses stale checkpoints.
     """
-    # dedup consumes pages twice (min-ts aggregate + filter) — pin it so the
+    # dedup consumes pages twice (min-key aggregate + join) — pin it so the
     # upstream source/generator executes once
     pages = pages.materialize() if not cfg.ckpt_root else pages
     deduped = stages.dedup_pages(pages)
     extracted = stages.extract_pages(deduped, cfg, verify_invariant)
     # extracted feeds two branches (segments, points/tiles) — pin
-    extracted = _maybe_ckpt(extracted, cfg, "extracted", pin=True)
+    extracted, tok_ex = _maybe_ckpt(extracted, cfg, "extracted",
+                                    upstream=source_token, pin=True)
 
     # materialize between the stateless MDL stage and the actor-pool cell
     # encoder: Ray would otherwise fuse the parse/MDL tasks INTO the actor
@@ -63,7 +97,7 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     # the segment set is tiny relative to pages so the pin is free
     segments = stages.build_segments(extracted, cfg).materialize()
     segments = stages.encode_cells(segments, cfg)
-    segments = _maybe_ckpt(segments, cfg, "segments", upstream="extracted")
+    segments, tok_seg = _maybe_ckpt(segments, cfg, "segments", upstream=tok_ex)
     # Keep the segment set pinned: it feeds telemetry, the keyed shuffle and
     # label assignment (small relative to pages — SURVEY §4.2).
     segments = segments.materialize()
@@ -76,11 +110,8 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
     # checkpointing the keyed (replicated) set = resume point just before the
     # big exchange — "resume mid-shuffle" (SURVEY §4.6)
-    keyed = _maybe_ckpt(keyed, cfg, "keyed", upstream="segments")
-    links = stages.dbscan_links(keyed, cfg)
-    labels = stages.merge_labels(links, cfg)
-
-    labeled = stages.assign_labels(segments, labels)
+    keyed, _ = _maybe_ckpt(keyed, cfg, "keyed", upstream=tok_seg)
+    labels, labeled = _merge_and_assign(keyed, segments, cfg)
     # pin reps: polygons derive from them — without the pin the cluster_id
     # groupby shuffle would re-execute for the polygon branch
     reps_ds = stages.build_representatives(labeled, cfg).materialize()
@@ -91,14 +122,15 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     polys = polys_ds.to_pandas()
 
     tiles = stages.build_tiles_from_pages(extracted, cfg)
-    tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream="extracted")
+    tiles, tok_tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream=tok_ex)
 
     tile_cluster = stages.spatial_join(tiles, polys, cfg)
-    tile_cluster = _maybe_ckpt(tile_cluster, cfg, "tile_cluster", upstream="tiles")
+    tile_cluster, _ = _maybe_ckpt(tile_cluster, cfg, "tile_cluster",
+                                  upstream=tok_tiles)
 
     return {
         "segments": segments,
-        "labels": labels[["seg_id", "cluster_id"]].reset_index(drop=True),
+        "labels": labels,
         "representatives": reps,
         "polygons": polys,
         "tiles": tiles,
@@ -120,9 +152,7 @@ def run_from_points(points: ray.data.Dataset,
     telemetry = stages.cell_telemetry(segments)
     salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
     keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
-    links = stages.dbscan_links(keyed, cfg)
-    labels = stages.merge_labels(links, cfg)
-    labeled = stages.assign_labels(segments, labels)
+    labels, labeled = _merge_and_assign(keyed, segments, cfg)
     reps_ds = stages.build_representatives(labeled, cfg).materialize()
     polys_ds = stages.build_polygons(reps_ds, cfg)
     reps = reps_ds.to_pandas()
@@ -131,7 +161,7 @@ def run_from_points(points: ray.data.Dataset,
     tile_cluster = stages.spatial_join(tiles, polys, cfg)
     return {
         "segments": segments,
-        "labels": labels[["seg_id", "cluster_id"]].reset_index(drop=True),
+        "labels": labels,
         "representatives": reps,
         "polygons": polys,
         "tiles": tiles,
@@ -152,7 +182,10 @@ def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     telemetry = stages.cell_telemetry(segments)
     salt_map = stages.salt_map_from_telemetry(telemetry, cfg.salt_cap)
     keyed = stages.replicate_for_dbscan(segments, salt_map, cfg, radius_mult=2.0)
-    return stages.knn_join(keyed, k, cfg)
+    # segments passed through → sparse-region homes whose k-th neighbor may
+    # lie beyond the replication radius are re-resolved exactly (J4 ring
+    # expansion; stages.knn_join docstring)
+    return stages.knn_join(keyed, k, cfg, segments=segments)
 
 
 def write_map(result: dict, out_dir: str) -> dict:
@@ -174,7 +207,8 @@ def write_map(result: dict, out_dir: str) -> dict:
         result[name].write_parquet(p)
         paths[name] = p
     # small driver-side frames (one row per cluster / per segment label)
-    lbl = pa.Table.from_pandas(result["labels"], preserve_index=False)
+    lbl = pa.Table.from_pandas(labels_frame(result["labels"]),
+                               preserve_index=False)
     p = os.path.join(out_dir, "labels.parquet")
     pq.write_table(lbl, p)
     paths["labels"] = p
@@ -195,6 +229,20 @@ def write_map(result: dict, out_dir: str) -> dict:
     return paths
 
 
+def labels_frame(labels) -> pd.DataFrame:
+    """Normalize the ``labels`` result (DataFrame on the driver-merge path,
+    Dataset on the distributed path) to a (seg_id, cluster_id) DataFrame —
+    only for small-result consumption (tests/compare surface)."""
+    if isinstance(labels, pd.DataFrame):
+        df = labels.copy()
+    else:
+        df = labels.to_pandas()
+        if "seg_id" not in df.columns:  # empty dataset loses its schema
+            return pd.DataFrame({"seg_id": pd.Series(dtype="int64"),
+                                 "cluster_id": pd.Series(dtype="int64")})
+    return df[["seg_id", "cluster_id"]]
+
+
 def full_labels(result: dict) -> pd.DataFrame:
     """Labels for EVERY segment (noise = -1), sorted by seg_id — the
     exact-match comparison surface vs the oracle (tests/test_golden.py)."""
@@ -202,7 +250,7 @@ def full_labels(result: dict) -> pd.DataFrame:
     if "seg_id" not in seg_ids.columns:  # empty dataset loses its schema
         return pd.DataFrame({"seg_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})
-    lab = result["labels"].copy()
+    lab = labels_frame(result["labels"])
     # nullable Int64 keeps 64-bit ids exact through the left join (a float64
     # NaN-fill would round ids beyond 2^53)
     lab["cluster_id"] = lab["cluster_id"].astype("Int64")

@@ -28,7 +28,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .stages import read_table
-from .util import round_half_away
+from .util import join_partitions, round_half_away
 
 
 def _r(df: pd.DataFrame, cols, nd: int = 2) -> pd.DataFrame:
@@ -94,7 +94,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
-    joined = li_rev.join(orders, join_type="inner", num_partitions=8,
+    joined = li_rev.join(orders, join_type="inner", num_partitions=join_partitions(cap=8),
                          on=("l_orderkey",), right_on=("o_orderkey",))
     out = (
         joined.sort(["revenue", "l_orderkey"], descending=[True, False])
@@ -131,7 +131,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
 
     li_rev = li.map_batches(rev, batch_format="pyarrow")
-    joined = li_rev.join(orders, join_type="inner", num_partitions=8,
+    joined = li_rev.join(orders, join_type="inner", num_partitions=join_partitions(cap=8),
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
     def attach_dim(df: pd.DataFrame) -> pd.DataFrame:
@@ -297,6 +297,40 @@ def semi_join_customers(sf_dir: str) -> pd.DataFrame:
 def anti_join_customers(sf_dir: str) -> pd.DataFrame:
     """J6 anti-join: customers with no big order."""
     return _key_filter_customers(sf_dir, False)
+
+
+def left_join_customer_orders(sf_dir: str, threshold: float = 250000.0) -> pd.DataFrame:
+    """J1 LEFT OUTER join (SURVEY §2.5 "inner/left" — the left side was
+    unproven in round 1): every customer joined to per-customer big-order
+    stats via the native left_outer hash join; customers with no big order
+    null-fill to (0, 0.0)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    stats = (
+        orders.map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"],
+                                          pa.scalar(threshold))),
+            batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_big"),
+                   Sum("o_totalprice", alias_name="total_big"))
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = cust.join(stats, join_type="left_outer",
+                       num_partitions=join_partitions(cap=8),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_big": pc.fill_null(pc.cast(t["n_big"], pa.int64()), 0),
+            "total_big": pc.fill_null(pc.cast(t["total_big"], pa.float64()),
+                                      0.0),
+        })
+
+    out = (joined.map_batches(fill, batch_format="pyarrow").to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    return _r(out, ["total_big"])
 
 
 def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:

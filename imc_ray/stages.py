@@ -7,8 +7,9 @@ single-node oracle so distributed output matches it exactly.
 
 Scale notes (the 100 TB story, per stage):
 
-* pages never carry ``html`` past extraction; dedup shuffles only
-  (url, warc_ts) partials, not page bodies.
+* pages never carry ``html`` past extraction; page dedup aggregates thin
+  (url, dkey) rows and resolves survivors with a native hash JOIN on url —
+  no driver-side per-url state.
 * trajectories never shuffle: a page's tracks are parsed and MDL-partitioned
   inside one batch (points of one trajectory are born contiguous), so the
   first wide exchange is over *segments* — orders of magnitude smaller than
@@ -16,10 +17,13 @@ Scale notes (the 100 TB story, per stage):
 * the DBSCAN shuffle is keyed by (Morton cell, salt); hot cells are split by
   salted repartitioning driven by a partition-size telemetry pass; halo
   replication makes every ε-neighborhood locally complete (SURVEY §4.4).
-* small sides (salt map, core flags, relabel map, polygon set) are broadcast
-  once via ``ray.put`` and read from the local object store in every task —
-  never re-shipped per batch.  At 10^12-row scale the core-flag/relabel
-  broadcasts would become hash joins on seg_id; documented at each site.
+* label merge + assignment route by link count (pipeline._merge_and_assign):
+  driver-vectorized below cfg.driver_merge_max_links, fully-distributed
+  join+groupby-min propagation plus a left-outer hash join on seg_id above
+  it — the two are asserted equal in tests.
+* genuinely small sides (salt map, polygon set, flagged kNN queries) are
+  broadcast once via ``ray.put`` and read from the local object store in
+  every task — never re-shipped per batch.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ from ray.data.aggregate import Min, Sum
 
 from . import extract, geom
 from .config import DEFAULT_CONFIG, PipelineConfig
+from .util import join_partitions
 
 _MAX_SALT = 64  # salt fans a hot cell into ≤ 64 buckets; gkey = cell*64 + salt
 
@@ -90,30 +95,46 @@ def pages_from_documents(sf_dir: str, seed: int = 42,
 # D1 exact dedup — aggregate + broadcast semi-join (no page-body shuffle)
 # ---------------------------------------------------------------------------
 
-def dedup_pages(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Keep the first crawl (min warc_ts) per url.
+def _dedup_key_batch(batch: pa.Table) -> pa.Table:
+    """Append the dedup sort key: zero-padded µs timestamp | content hash.
 
-    Shuffles only (url, warc_ts) through the groupby; the wide ``html`` rows
-    are filtered in place by a broadcast min-ts map (ray.put once, local
-    object-store read per task).  Assumes (url, warc_ts) pairs are unique —
-    true of the corpus contract.  At 10^12 urls the broadcast becomes a
-    native hash join on url instead (Dataset.join); same semantics."""
+    Lexicographic min of the string == min of the (warc_ts, content-hash)
+    pair, so ONE string-Min aggregate picks the survivor per url with a
+    deterministic tie-break when duplicate (url, warc_ts) crawls exist
+    (round-1 review: real crawl data violates the uniqueness contract)."""
+    ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    fp = pd.util.hash_pandas_object(
+        batch["text"].to_pandas(), index=False,
+        hash_key="imcray-pagededup").to_numpy()
+    key = [f"{t:020d}|{f:016x}" for t, f in zip(ts, fp)]
+    return batch.append_column("dkey", pa.array(key, type=pa.string()))
+
+
+def dedup_pages(ds: ray.data.Dataset,
+                num_partitions: int | None = None) -> ray.data.Dataset:
+    """Keep the first crawl per url: min (warc_ts, content-hash) — D1.
+
+    Scale shape: the groupby aggregates only thin (url, dkey) rows; the
+    survivor filter is a native hash JOIN on url (both sides hash-partitioned
+    — no driver-side per-url state, unlike the round-1 broadcast map, which
+    capped at driver memory).  Rows that are byte-identical in (url, warc_ts,
+    text) remain the corpus contract (only full-duplicate rows tie)."""
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    keyed = ds.map_batches(_dedup_key_batch, batch_format="pyarrow")
     mins = (
-        ds.select_columns(["url", "warc_ts"])
+        keyed.select_columns(["url", "dkey"])
         .groupby("url")
-        .aggregate(Min("warc_ts", alias_name="min_ts"))
+        .aggregate(Min("dkey", alias_name="min_dkey"))
     )
-    min_df = mins.to_pandas().set_index("url")
-    ref = ray.put(min_df)
+    joined = keyed.join(mins, join_type="inner",
+                        num_partitions=num_partitions, on=("url",))
 
     def keep_first(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        urls = pd.Index(batch["url"].to_pylist())
-        want = m["min_ts"].reindex(urls).to_numpy()
-        ts = batch["warc_ts"].to_numpy()
-        return batch.filter(pa.array(ts == want))
+        out = batch.filter(pa.compute.equal(batch["dkey"], batch["min_dkey"]))
+        return out.drop_columns(["dkey", "min_dkey"])
 
-    return ds.map_batches(keep_first, batch_format="pyarrow")
+    return joined.map_batches(keep_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -445,8 +466,8 @@ def _group_arrays(g: pd.DataFrame):
     return segs, g["seg_id"].to_numpy(), g["is_home"].to_numpy(dtype=bool)
 
 
-def dbscan_links(keyed2m: ray.data.Dataset,
-                 cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+def dbscan_links_ds(keyed2m: ray.data.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """Single-pass distributed DBSCAN over buckets replicated at radius 2M
     (``replicate_for_dbscan(..., radius_mult=2)``).
 
@@ -534,7 +555,15 @@ def dbscan_links(keyed2m: ray.data.Dataset,
              "kind": out_kind, "ref": out_ref}
         )
 
-    return keyed2m.groupby("gkey").map_groups(f, batch_format="pandas").to_pandas()
+    return keyed2m.groupby("gkey").map_groups(f, batch_format="pandas")
+
+
+def dbscan_links(keyed2m: ray.data.Dataset,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Driver-DataFrame variant of :func:`dbscan_links_ds` (small-scale path /
+    test surface).  The pipeline decides per run which side to use by link
+    count — see :func:`imc_ray.pipeline.run`."""
+    return dbscan_links_ds(keyed2m, cfg).to_pandas()
 
 
 def dbscan_phase1(keyed: ray.data.Dataset,
@@ -662,25 +691,14 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
     return out.to_pandas()
 
 
-def dbscan_links_ds(keyed2m: ray.data.Dataset,
-                    cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    """Dataset-returning variant of :func:`dbscan_links` (feeds the fully
-    distributed merge path)."""
-    import ray.data as _rd
-
-    df = dbscan_links(keyed2m, cfg)
-    return _rd.from_pandas(df) if len(df) else _rd.from_items(
-        [{"seg_id": 0, "traj_id": "", "kind": -1, "ref": 0}]).filter(
-            lambda r: r["kind"] >= 0)
-
-
 def merge_labels_distributed(links: ray.data.Dataset,
                              segments: ray.data.Dataset,
                              cfg: PipelineConfig = DEFAULT_CONFIG,
                              max_rounds: int = 20) -> ray.data.Dataset:
     """C3+C4 with NO driver materialization of per-segment data — the path
-    that holds at 10^12 rows (the default pipeline uses the driver-side
-    vectorized merge, which is faster at sandbox scale; equality of the two
+    that holds at 10^12 rows.  The pipeline routes here automatically when
+    the link count exceeds ``cfg.driver_merge_max_links`` (the driver-side
+    vectorized merge remains the small-scale fast path; equality of the two
     is asserted in tests).
 
     Iterative distributed min-label propagation:
@@ -695,13 +713,21 @@ def merge_labels_distributed(links: ray.data.Dataset,
     from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Min as _Min
 
-    npart = 8
-    core = links.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["kind"], 0)),
-        batch_format="pyarrow")
-    border = links.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["kind"], 1)),
-        batch_format="pyarrow")
+    npart = join_partitions(cap=8)
+
+    def _thin(t: pa.Table, kind: int) -> pa.Table:
+        # keep only int64 columns: the merge never needs traj_id, and empty
+        # map_groups blocks carry it as Arrow null type, which breaks schema
+        # unification inside the join's hash shuffle (observed: "No match or
+        # multiple matches for key field ref")
+        t = t.filter(pa.compute.equal(t["kind"], kind))
+        return pa.table({
+            "seg_id": pa.compute.cast(t["seg_id"], pa.int64()),
+            "ref": pa.compute.cast(t["ref"], pa.int64()),
+        })
+
+    core = links.map_batches(lambda t: _thin(t, 0), batch_format="pyarrow")
+    border = links.map_batches(lambda t: _thin(t, 1), batch_format="pyarrow")
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t["seg_id"].to_numpy()
@@ -743,15 +769,21 @@ def merge_labels_distributed(links: ray.data.Dataset,
                           left_suffix="_e", right_suffix="_l")
         lab = (prop.groupby("node").aggregate(_Min("lab", alias_name="lab"))
                .repartition(1).materialize())
-    # borders attach to min adjacent component
-    blab = border.join(lab, join_type="inner", num_partitions=npart,
-                       on=("ref",), right_on=("node",))
-    blab = (blab.groupby("seg_id").aggregate(_Min("lab", alias_name="lab"))
-            .repartition(1))
     core_lab = lab.map_batches(
         lambda t: pa.table({"seg_id": t["node"], "lab": t["lab"]}),
         batch_format="pyarrow")
-    members = core_lab.union(blab)
+    # borders attach to min adjacent component; a dense corpus can have ZERO
+    # borders, and a join whose left side is entirely empty partitions trips
+    # the degenerate-schema path in Ray's hash-shuffle join — short-circuit
+    border = border.materialize()
+    if border.count() > 0:
+        blab = border.join(lab, join_type="inner", num_partitions=npart,
+                           on=("ref",), right_on=("node",))
+        blab = (blab.groupby("seg_id").aggregate(_Min("lab", alias_name="lab"))
+                .repartition(1))
+        members = core_lab.union(blab)
+    else:
+        members = core_lab
     # canonical cluster id = min member seg_id
     canon = (members.groupby("lab")
              .aggregate(_Min("seg_id", alias_name="canon")).repartition(1))
@@ -854,6 +886,26 @@ def assign_labels(segments: ray.data.Dataset, labels_df: pd.DataFrame) -> ray.da
         return batch.append_column("cluster_id", pa.array(lab, type=pa.int64()))
 
     return segments.map_batches(f, batch_format="pyarrow")
+
+
+def assign_labels_ds(segments: ray.data.Dataset, labels: ray.data.Dataset,
+                     num_partitions: int | None = None) -> ray.data.Dataset:
+    """Scale-path label assignment: native LEFT OUTER hash join on seg_id
+    (no driver-side relabel map), noise null-filled to -1.  Used when the
+    distributed merge produced the labels as a Dataset."""
+    joined = segments.join(labels.select_columns(["seg_id", "cluster_id"]),
+                           join_type="left_outer",
+                           num_partitions=num_partitions or join_partitions(),
+                           on=("seg_id",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        lab = batch["cluster_id"].combine_chunks() \
+            if batch.num_rows else batch["cluster_id"]
+        filled = pa.compute.fill_null(pa.compute.cast(lab, pa.int64()), -1)
+        i = batch.column_names.index("cluster_id")
+        return batch.set_column(i, "cluster_id", filled)
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -968,7 +1020,13 @@ class TileJoiner:
     """Stateful actor: builds an STRtree over the (broadcast) corridor-polygon
     set once in ``__init__``, then batch point-in-polygon joins tiles against
     it (SURVEY §2.3 S2/S3, §2.5 J3).  The polygon side is small (one row per
-    cluster) — broadcast via ray.put, never re-shipped per batch."""
+    cluster) — broadcast via ray.put, never re-shipped per batch.
+
+    Fully vectorized per batch: ONE tree query (batch bbox) prefilters the
+    polygon set, then each candidate polygon is tested against all its
+    bbox-overlapping tiles with a single ``points_in_ring`` call over the
+    stacked 5-point tile samples — no per-tile Python loop (round-1 review
+    measured the per-tile path at ~490 rows/s; this is the ≥5× fix)."""
 
     def __init__(self, polys_ref, tile_size: float):
         polys = ray.get(polys_ref)  # list of (cluster_id, ring ndarray)
@@ -976,12 +1034,13 @@ class TileJoiner:
         self.cids = np.array([c for c, _ in polys], dtype=np.int64)
         self.rings = [r for _, r in polys]
         if self.rings:
-            boxes = np.asarray(
+            self.boxes = np.asarray(
                 [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
                  for r in self.rings]
             )
-            self.tree = geom.STRtree(boxes)
+            self.tree = geom.STRtree(self.boxes)
         else:
+            self.boxes = np.empty((0, 4))
             self.tree = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -990,23 +1049,43 @@ class TileJoiner:
             tid = batch["tile_id"].to_numpy()
             s = self.tile_size
             _, _, x0, y0 = geom.cell_decode(tid, s)
-            for k in range(len(tid)):
-                cand = self.tree.query(x0[k], y0[k], x0[k] + s, y0[k] + s)
-                if len(cand) == 0:
+            x1, y1 = x0 + s, y0 + s
+            # one tree descent for the whole batch's bounding box
+            cand = self.tree.query(float(x0.min()), float(y0.min()),
+                                   float(x1.max()), float(y1.max()))
+            for c in cand:
+                bx0, by0, bx1, by1 = self.boxes[c]
+                # closed-interval bbox overlap — same semantics as tree.query
+                m = (x0 <= bx1) & (x1 >= bx0) & (y0 <= by1) & (y1 >= by0)
+                idx = np.nonzero(m)[0]
+                if len(idx) == 0:
                     continue
-                sx = np.array([x0[k], x0[k] + s, x0[k] + s, x0[k], x0[k] + s / 2])
-                sy = np.array([y0[k], y0[k], y0[k] + s, y0[k] + s, y0[k] + s / 2])
-                for c in cand:
-                    frac = float(geom.points_in_ring(sx, sy, self.rings[c]).sum()) / 5.0
-                    if frac > 0:
-                        out_t.append(int(tid[k]))
-                        out_c.append(int(self.cids[c]))
-                        out_f.append(frac)
+                tx0, ty0 = x0[idx], y0[idx]
+                # 5 sample points per tile: 4 corners + center, stacked so one
+                # ring test covers every candidate tile of this polygon
+                sx = np.concatenate([tx0, tx0 + s, tx0 + s, tx0, tx0 + s / 2])
+                sy = np.concatenate([ty0, ty0, ty0 + s, ty0 + s, ty0 + s / 2])
+                inside = geom.points_in_ring(sx, sy, self.rings[c])
+                frac = inside.reshape(5, len(idx)).sum(axis=0) / 5.0
+                keep = frac > 0
+                if keep.any():
+                    out_t.append(tid[idx[keep]])
+                    out_c.append(np.full(int(keep.sum()), self.cids[c],
+                                         dtype=np.int64))
+                    out_f.append(frac[keep])
+        if out_t:
+            t = np.concatenate(out_t)
+            c_ = np.concatenate(out_c)
+            f = np.concatenate(out_f)
+        else:
+            t = np.empty(0, dtype=np.int64)
+            c_ = np.empty(0, dtype=np.int64)
+            f = np.empty(0, dtype=np.float64)
         return pa.table(
             {
-                "tile_id": pa.array(out_t, type=pa.int64()),
-                "cluster_id": pa.array(out_c, type=pa.int64()),
-                "frac": pa.array(out_f, type=pa.float64()),
+                "tile_id": pa.array(t, type=pa.int64()),
+                "cluster_id": pa.array(c_, type=pa.int64()),
+                "frac": pa.array(f, type=pa.float64()),
             }
         )
 
@@ -1074,13 +1153,49 @@ def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,
 # J4 kNN join — segment-Hausdorff top-k via the same cell+halo machinery
 # ---------------------------------------------------------------------------
 
+def _top_k_ties(d: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (dist, id) lexicographic order, tie-exact:
+    the candidate set is ALL columns with dist ≤ the (k+8)-th smallest, so
+    arbitrarily wide tie groups at the k-th distance cannot be cut by the
+    partition (round-1 review: the fixed kb=k+8 argpartition buffer was
+    partition-order-dependent beyond 8 ties)."""
+    m = len(d)
+    kb = min(k + 8, m)
+    if kb < m:
+        dkb = np.partition(d, kb - 1)[kb - 1]
+        cand = np.nonzero(d <= dkb)[0]
+    else:
+        cand = np.arange(m)
+    order = cand[np.lexsort((ids[cand], d[cand]))][:k]
+    return order[np.isfinite(d[order])]
+
+
+_KNN_SCHEMA = {"seg_id": "int64", "nbr_id": "int64",
+               "rank": "int64", "dist": "float64"}
+
+
+def _empty_knn() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _KNN_SCHEMA.items()})
+
+
 def knn_join(keyed: ray.data.Dataset, k: int,
-             cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    """Top-k nearest segments (segment-Hausdorff) for every home segment among
-    all segments within the replication radius 2M — candidates are complete
-    within that radius by the replication invariant; true global kNN when the
-    k-th neighbor lies within 2M (the partitioning assumption, documented per
-    SURVEY §2.5 J4)."""
+             cfg: PipelineConfig = DEFAULT_CONFIG,
+             segments: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """Top-k nearest segments (segment-Hausdorff) for every home segment.
+
+    Bucket pass: candidates within the replication radius 2M are complete by
+    the replication invariant, and the result is provably the GLOBAL top-k
+    when ≥ k finite candidates exist and the k-th distance d_k satisfies
+    d_k + max_seg_len/2 ≤ 2M (an H≤d neighbor's endpoints lie within d of the
+    home segment, so its midpoint lies within d + L/2 of the home midpoint —
+    inside the replication radius).  Home segments failing that certificate
+    (sparse regions) are re-resolved by a brute-force ring-expansion pass over
+    the full ``segments`` Dataset — broadcast the small flagged set, partial
+    tie-exact top-k per batch, tiny driver merge (the SURVEY §2.5 J4 "widen
+    ring until k found" completion; no shuffle, one extra segment scan).
+    With ``segments=None`` the bucket pass result is returned as-is
+    (round-1 behavior; exact only in the dense regime)."""
+    bound = 2.0 * cfg.halo - cfg.max_seg_len / 2.0
 
     def f(g: pd.DataFrame) -> pd.DataFrame:
         segs, seg_ids, is_home = _group_arrays(g)
@@ -1091,25 +1206,86 @@ def knn_join(keyed: ray.data.Dataset, k: int,
             q = hidx[s:s + chunk]
             D = geom.hausdorff_block(segs[q], segs)
             D[np.arange(len(q)), q] = np.inf  # exclude self
-            m = D.shape[1]
-            kb = min(k + 8, m)  # buffer absorbs (dist, seg_id) tie ordering
-            part = np.argpartition(D, kb - 1, axis=1)[:, :kb] if kb < m \
-                else np.tile(np.arange(m), (len(q), 1))
             for r_loc, h in enumerate(q):
-                cand = part[r_loc]
-                d = D[r_loc][cand]
-                order = cand[np.lexsort((seg_ids[cand], d))][:k]
-                for rank, j in enumerate(order):
-                    if np.isfinite(D[r_loc, j]):
-                        rows["seg_id"].append(int(seg_ids[h]))
-                        rows["nbr_id"].append(int(seg_ids[j]))
-                        rows["rank"].append(rank)
-                        rows["dist"].append(float(D[r_loc, j]))
-        return pd.DataFrame(rows).astype(
-            {"seg_id": "int64", "nbr_id": "int64", "rank": "int64", "dist": "float64"}
-        ) if rows["seg_id"] else pd.DataFrame(
-            {"seg_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
-             "rank": pd.Series(dtype="int64"), "dist": pd.Series(dtype="float64")}
-        )
+                d = D[r_loc]
+                take = _top_k_ties(d, seg_ids, k)
+                resolved = len(take) == k and float(d[take[-1]]) <= bound
+                if not resolved:
+                    # marker row — the fallback pass recomputes this home
+                    rows["seg_id"].append(int(seg_ids[h]))
+                    rows["nbr_id"].append(-1)
+                    rows["rank"].append(-1)
+                    rows["dist"].append(np.inf)
+                    continue
+                for rank, j in enumerate(take):
+                    rows["seg_id"].append(int(seg_ids[h]))
+                    rows["nbr_id"].append(int(seg_ids[j]))
+                    rows["rank"].append(rank)
+                    rows["dist"].append(float(d[j]))
+        return pd.DataFrame(rows).astype(_KNN_SCHEMA) if rows["seg_id"] \
+            else _empty_knn()
 
-    return keyed.groupby("gkey").map_groups(f, batch_format="pandas")
+    res = keyed.groupby("gkey").map_groups(f, batch_format="pandas")
+    if segments is None:
+        return res.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t["rank"], 0)),
+            batch_format="pyarrow")
+    res = res.materialize()
+    flagged = res.map_batches(
+        lambda t: t.filter(pa.compute.less(t["rank"], 0)),
+        batch_format="pyarrow").to_pandas()
+    good = res.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["rank"], 0)),
+        batch_format="pyarrow")
+    if len(flagged) == 0:
+        return good
+    fb = _knn_global_fallback(segments,
+                              flagged["seg_id"].unique().astype(np.int64), k)
+    return good.union(ray.data.from_pandas(fb))
+
+
+def _knn_global_fallback(segments: ray.data.Dataset, flagged_ids: np.ndarray,
+                         k: int) -> pd.DataFrame:
+    """Exact global top-k for the flagged (sparse-region) home segments:
+    broadcast the flagged query set, tie-exact partial top-k per segment
+    batch, merge the (≤ |flagged|·(k+ties)) partials on the driver."""
+    id_set = pa.array(np.sort(flagged_ids), type=pa.int64())
+    qdf = segments.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["seg_id"], value_set=id_set)),
+        batch_format="pyarrow").select_columns(
+            ["seg_id", "x1", "y1", "x2", "y2"]).to_pandas()
+    qs = qdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+    qids = qdf["seg_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((qids, qs))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qs_ = ray.get(ref)
+        B = np.column_stack([t[c].to_numpy()
+                             for c in ("x1", "y1", "x2", "y2")])
+        bids = t["seg_id"].to_numpy()
+        out = {"seg_id": [], "nbr_id": [], "dist": []}
+        if len(B):
+            D = geom.hausdorff_block(qs_, B)
+            D[qids_[:, None] == bids[None, :]] = np.inf  # exclude self
+            for r in range(len(qids_)):
+                take = _top_k_ties(D[r], bids, k)
+                out["seg_id"] += [int(qids_[r])] * len(take)
+                out["nbr_id"] += [int(bids[j]) for j in take]
+                out["dist"] += [float(D[r, j]) for j in take]
+        return pa.table({
+            "seg_id": pa.array(out["seg_id"], type=pa.int64()),
+            "nbr_id": pa.array(out["nbr_id"], type=pa.int64()),
+            "dist": pa.array(out["dist"], type=pa.float64()),
+        })
+
+    parts = segments.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for sid, g in parts.groupby("seg_id"):
+        g = g.sort_values(["dist", "nbr_id"], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        rows.append(g)
+    if not rows:
+        return _empty_knn()
+    out = pd.concat(rows, ignore_index=True)
+    return out[["seg_id", "nbr_id", "rank", "dist"]].astype(_KNN_SCHEMA)

@@ -4,39 +4,71 @@ quality scoring, token counting, fingerprinting).
 
 All deterministic; vectorized per batch; the dedup family follows the
 shingle→minhash→band→bucket-groupby pattern so the wide step shuffles only
-(band, hash, doc_id) rows, never document text.
+(band, hash, doc_id) rows, never document text.  Candidate verification
+fetches texts by native hash JOIN (no driver text broadcast) and near-dup
+group assembly runs the distributed min-label propagation in
+:mod:`imc_ray.graph` — no union-find or ``unique()`` materialization on the
+driver (round-1 review items 4/8).
+
+Hashing contracts: ``fingerprint_documents`` (md5 + FNV rolling hash) and
+``simhash64`` emit the same VALUES as round 1 (fixture-tested) — their inner
+loops are re-expressed as batch-vectorized numpy (position-major FNV sweep,
+unique-token blake2b + segment-sum simhash).  The minhash/LSH shingle hash
+switched from per-gram blake2b to a vectorized polynomial mix of per-token
+hashes: shingle-set Jaccard (what the op verifies and outputs) is invariant
+under the change; only the (approximate) LSH candidate sets shift slightly.
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data
 
-from .geom import UnionFind
+from . import graph
 from .stages import read_table
-from .util import round_half_away
+from .util import join_partitions, round_half_away
 
 # ---------------------------------------------------------------------------
 # Fingerprinting — md5 content fingerprint + 64-bit rolling polynomial hash
 # ---------------------------------------------------------------------------
 
-_ROLL_BASE = np.uint64(1099511628211)
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_BASIS = np.uint64(14695981039346656037)
 
 
 def rolling_hash64(text: str) -> int:
     """FNV-style rolling polynomial hash over utf-8 bytes (document
-    fingerprint; deterministic, mergeable per chunk)."""
-    h = np.uint64(14695981039346656037)
-    for b in text.encode("utf-8"):
-        h = np.uint64((int(h) ^ b) * int(_ROLL_BASE) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+    fingerprint; value contract with round 1 — see batch form below)."""
+    return int(rolling_hash64_batch([text])[0])
+
+
+def rolling_hash64_batch(texts) -> np.ndarray:
+    """Vectorized-across-documents FNV sweep: one numpy op per BYTE POSITION
+    over the whole batch instead of a Python op per byte per doc (round-1
+    review item 7: this was the repo's worst hot loop).  Bit-identical to the
+    sequential h = (h ^ b) * prime loop."""
+    bs = [t.encode("utf-8") for t in texts]
+    n = len(bs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    m = int(lens.max()) if n else 0
+    # padded (n, m) byte matrix; position-major sweep with an active mask
+    mat = np.zeros((n, m), dtype=np.uint64)
+    for i, b in enumerate(bs):
+        if len(b):
+            mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for pos in range(m):
+            active = lens > pos
+            h[active] = (h[active] ^ mat[active, pos]) * _FNV_PRIME
+    return h
 
 
 def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
@@ -46,7 +78,7 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     def f(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         fps = [hashlib.md5(s.encode()).hexdigest() for s in texts]
-        rolls = [rolling_hash64(s) >> 1 for s in texts]  # 63-bit for int64
+        rolls = (rolling_hash64_batch(texts) >> np.uint64(1)).astype(np.int64)
         return pa.table({
             "doc_id": t["doc_id"],
             "fp": pa.array(fps, type=pa.string()),
@@ -104,6 +136,8 @@ class LangId:
     lexicographically smallest top-scoring language, 'und' when no signal."""
 
     def __init__(self):
+        import re
+
         self.word = re.compile(r"[a-zA-ZäöüÄÖÜßáéíóúñ]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -138,6 +172,51 @@ def lang_id_documents(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token / shingle hashing shared by minhash + simhash (vectorized kernels)
+# ---------------------------------------------------------------------------
+
+def _hash_unique_tokens(all_toks: list) -> tuple:
+    """blake2b per UNIQUE token (the only Python hashing loop left — natural
+    language dedupes hard across a batch), inverse index per token.
+    Returns (uniq_hashes u64 array, inverse)."""
+    uniq, inv = np.unique(np.asarray(all_toks, dtype=object), return_inverse=True)
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        hs[i] = int.from_bytes(
+            hashlib.blake2b(str(tok).encode(), digest_size=8).digest(), "big")
+    return hs, inv
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _mix_kgram(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Polynomial mix of k consecutive token hashes → shingle hashes (m-k+1,)
+    — the vectorized replacement for per-gram blake2b.  For m < k the whole
+    token list is one shingle."""
+    m = len(th)
+    with np.errstate(over="ignore"):
+        if m < k:
+            h = np.uint64(0)
+            for v in th:
+                h = (h * _MIX) ^ v
+            return np.asarray([h], dtype=np.uint64)
+        acc = np.zeros(m - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * _MIX) ^ th[j:m - k + 1 + j]
+        return acc
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (int64 ≥ 0) — mixed token-hash polynomial.
+    Jaccard over these sets equals Jaccard over the grams themselves (modulo
+    ~2^-64 collisions)."""
+    toks = text.split(" ")
+    th, inv = _hash_unique_tokens(toks)
+    return (_mix_kgram(th[inv], k) >> np.uint64(3)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (shingle → minhash → band → bucket groupby)
 # ---------------------------------------------------------------------------
 
@@ -154,68 +233,92 @@ def _perm_params(seed: int = 42):
     return a, b
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles hashed to 64-bit (blake2b-stable)."""
-    toks = text.split(" ")
-    if len(toks) < k:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(grams), dtype=np.int64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
-        ) >> 3
-    return out
-
-
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     sh = _shingles(text).astype(np.uint64)
     # (a*x + b) mod 2^64 per permutation, min over shingles — vectorized (P, S)
-    vals = a[:, None] * sh[None, :] + b[:, None]
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * sh[None, :] + b[:, None]
     return (vals.min(axis=1) >> np.uint64(1)).astype(np.int64)
 
 
 class MinHasher:
     """Actor-pool stage: permutation parameters built once per actor; emits
-    (band, band_hash, doc_id) rows — the only thing the LSH groupby shuffles."""
+    (band, band_hash, doc_id) rows — the only thing the LSH groupby shuffles.
+
+    Batch-vectorized (round-1 item 7): ONE token-unique blake2b pass for the
+    whole batch, shingle mixing and the (shingles × perms) affine-min as
+    numpy segment ops over doc offsets — no per-doc Python minhash loop."""
 
     def __init__(self, seed: int = 42):
         self.a, self.b = _perm_params(seed)
         self.rows_per_band = _N_PERM // _N_BANDS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bands, bhash, docs = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = minhash_signature(text, self.a, self.b)
-            for band in range(_N_BANDS):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1
-                bands.append(band)
-                bhash.append(h)
-                docs.append(doc_id)
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"band": pa.array([], type=pa.int64()),
+                             "band_hash": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        # tokenize all docs; hash unique tokens once per batch
+        tok_lists = [t.split(" ") for t in texts]
+        all_toks = [tok for toks in tok_lists for tok in toks]
+        th_u, inv = _hash_unique_tokens(all_toks)
+        th_all = th_u[inv]
+        # per-doc shingle hashes, concatenated with offsets
+        offs = np.concatenate([[0], np.cumsum([len(t) for t in tok_lists])])
+        sh_parts = [_mix_kgram(th_all[offs[i]:offs[i + 1]]) for i in range(n)]
+        sh_lens = np.fromiter((len(s) for s in sh_parts), dtype=np.int64, count=n)
+        sh = (np.concatenate(sh_parts) >> np.uint64(3)).astype(np.uint64)
+        # (total_shingles, P) affine values, per-doc min via reduceat —
+        # chunked over docs to bound the temp at ~32 MB
+        sig = np.empty((n, _N_PERM), dtype=np.uint64)
+        sh_offs = np.concatenate([[0], np.cumsum(sh_lens)])
+        budget = 4_000_000  # shingle·perm cells per chunk
+        i = 0
+        with np.errstate(over="ignore"):
+            while i < n:
+                j = i
+                cells = 0
+                while j < n and (cells == 0
+                                 or cells + sh_lens[j] * _N_PERM <= budget):
+                    cells += int(sh_lens[j]) * _N_PERM
+                    j += 1
+                blk = sh[sh_offs[i]:sh_offs[j]]
+                vals = blk[:, None] * self.a[None, :] + self.b[None, :]
+                sig[i:j] = np.minimum.reduceat(
+                    vals, (sh_offs[i:j] - sh_offs[i]).astype(np.int64), axis=0)
+                i = j
+        sig = (sig >> np.uint64(1)).astype(np.uint64)
+        # band hashes: polynomial mix of each band's 4 signature words,
+        # vectorized over (docs, bands)
+        r = self.rows_per_band
+        sig3 = sig.reshape(n, _N_BANDS, r)
+        bh = np.zeros((n, _N_BANDS), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for jrow in range(r):
+                bh = (bh * _MIX) ^ sig3[:, :, jrow]
+        bh = (bh >> np.uint64(1)).astype(np.int64)
+        band = np.tile(np.arange(_N_BANDS, dtype=np.int64), n)
         return pa.table({
-            "band": pa.array(bands, type=pa.int64()),
-            "band_hash": pa.array(bhash, type=pa.int64()),
-            "doc_id": pa.array(docs, type=pa.int64()),
+            "band": pa.array(band, type=pa.int64()),
+            "band_hash": pa.array(bh.reshape(-1), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, _N_BANDS), type=pa.int64()),
         })
 
 
-def _lsh_candidates(bands, star_only: bool) -> pd.DataFrame:
-    """Candidate pairs from (band, band_hash) buckets.
+def _lsh_candidates_ds(bands, star_only: bool) -> ray.data.Dataset:
+    """Candidate-pair Dataset from (band, band_hash) buckets.
 
     One coarse groupby over ``pkey = band_hash % 512`` with vectorized pandas
     bucket logic inside each group — NOT a map_groups per (band,hash) bucket,
     which costs one Python call per tiny group (measured 10× slower).
     ``star_only`` emits (min_doc, other) star pairs (enough for connected
     components); otherwise all within-bucket pairs."""
-    import pyarrow.compute as _pc
 
     def add_pkey(t: pa.Table) -> pa.Table:
-        pk = _pc.cast(_pc.bit_wise_and(t["band_hash"], pa.scalar(511)), pa.int64())
+        pk = pc.cast(pc.bit_wise_and(t["band_hash"], pa.scalar(511)), pa.int64())
         return t.append_column("pkey", pk)
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -224,56 +327,50 @@ def _lsh_candidates(bands, star_only: bool) -> pd.DataFrame:
         if star_only:
             first = g2.groupby(["band", "band_hash"])["doc_id"].transform("min")
             mask = g2["doc_id"].to_numpy() != first.to_numpy()
-            return pd.DataFrame({"a": first[mask].to_numpy(dtype="int64"),
-                                 "b": g2["doc_id"][mask].to_numpy(dtype="int64")})
-        m = g2.merge(g2, on=["band", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame({"a": m["doc_id_x"].to_numpy(dtype="int64"),
-                             "b": m["doc_id_y"].to_numpy(dtype="int64")})
+            out = pd.DataFrame({"a": first[mask].to_numpy(dtype="int64"),
+                                "b": g2["doc_id"][mask].to_numpy(dtype="int64")})
+        else:
+            m = g2.merge(g2, on=["band", "band_hash"])
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            out = pd.DataFrame({"a": m["doc_id_x"].to_numpy(dtype="int64"),
+                                "b": m["doc_id_y"].to_numpy(dtype="int64")})
+        return out.drop_duplicates()
 
-    cand = (bands.map_batches(add_pkey, batch_format="pyarrow")
-            .groupby("pkey").map_groups(pairs_fn, batch_format="pandas")
-            .to_pandas())
-    if "a" not in cand.columns:  # empty result loses its schema
-        cand = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
-    return cand.drop_duplicates()
+    return (bands.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("pkey").map_groups(pairs_fn, batch_format="pandas"))
 
 
-def _verify_jaccard(ds, cand: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Exact shingle-Jaccard per candidate pair, distributed: only CANDIDATE
-    documents' texts are fetched (broadcast id-set filter — never the whole
-    corpus), then pairs verify in parallel ``map_batches`` over the pair
-    list.  Returns pairs with jaccard ≥ threshold."""
-    if len(cand) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    need = set(int(x) for x in pd.concat([cand["a"], cand["b"]]).unique())
-    need_ref = ray.put(need)
-
-    def pick(t: pa.Table) -> pa.Table:
-        ids = ray.get(need_ref)
-        mask = pa.array([int(d) in ids for d in t["doc_id"].to_pylist()])
-        return t.filter(mask)
-
-    texts = (ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-             .set_index("doc_id")["text"])
-    texts_ref = ray.put(texts)
-    pairs_ds = ray.data.from_pandas(cand.reset_index(drop=True))
+def _verify_jaccard_ds(ds, cand: ray.data.Dataset,
+                       threshold: float) -> ray.data.Dataset:
+    """Exact shingle-Jaccard per candidate pair, fully distributed: texts
+    reach the pair rows via two native hash JOINS on doc_id (round-1 review
+    item 4 — no driver text collection / ray.put broadcast), then the pair
+    list verifies in parallel ``map_batches``.  Returns (a, b, jaccard ≥
+    threshold) rows."""
+    texts = ds.select_columns(["doc_id", "text"])
+    npart = join_partitions()
+    j = cand.join(texts, join_type="inner", num_partitions=npart,
+                  on=("a",), right_on=("doc_id",),
+                  left_suffix="_l", right_suffix="_ta")
+    j = j.join(texts, join_type="inner", num_partitions=npart,
+               on=("b",), right_on=("doc_id",),
+               left_suffix="_a", right_suffix="_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(texts_ref)
+        # join drops the right key column and suffixes the colliding "text"
+        # columns to text_a/text_b (second join's suffixes)
+        ta = df["text_a"]
+        tb = df["text_b"]
         out = {"a": [], "b": [], "jaccard": []}
         cache: dict = {}
 
-        def sh(i):
-            if i not in cache:
-                cache[i] = set(_shingles(tx.loc[i]).tolist())
-            return cache[i]
+        def sh(doc, text):
+            if doc not in cache:
+                cache[doc] = set(_shingles(text).tolist())
+            return cache[doc]
 
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = sh(int(a)), sh(int(b))
+        for a, b, x, y in zip(df["a"], df["b"], ta, tb):
+            sa, sb = sh(int(a), x), sh(int(b), y)
             jac = len(sa & sb) / max(len(sa | sb), 1)
             if jac >= threshold:
                 out["a"].append(int(a))
@@ -283,33 +380,30 @@ def _verify_jaccard(ds, cand: pd.DataFrame, threshold: float) -> pd.DataFrame:
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")})
 
-    out = pairs_ds.map_batches(verify, batch_format="pandas").to_pandas()
-    if "a" not in out.columns:
-        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                            "b": pd.Series(dtype="int64"),
-                            "jaccard": pd.Series(dtype="float64")})
-    return out
+    return j.map_batches(verify, batch_format="pandas")
 
 
 def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
     """MinHash-LSH near-dup groups: shingle→minhash per batch (actor pool) →
     (band, band_hash) groupby → candidate pairs → exact shingle-Jaccard verify
-    → connected components → (doc_id, dup_group = min doc_id in group).
+    (texts via hash join) → DISTRIBUTED connected components
+    (:mod:`imc_ray.graph` min-label propagation) → (doc_id, dup_group = min
+    doc_id in group).  No driver union-find, no corpus-id materialization.
 
     Docs with no near-dup get dup_group = their own id, so the output is one
     row per document (stable count for the rows-only check)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                            concurrency=(1, 4), num_cpus=1)
-    cand = _lsh_candidates(bands, star_only=True)
-
-    verified = _verify_jaccard(ds, cand, jaccard_threshold)
-    uf = UnionFind()
-    for a, b in zip(verified["a"], verified["b"]):
-        uf.union(int(a), int(b))
-    all_ids = sorted(int(i) for i in ds.unique("doc_id"))
-    groups = [uf.find(i) for i in all_ids]
-    return pd.DataFrame({"doc_id": all_ids, "dup_group": groups})
+    raw = _lsh_candidates_ds(bands, star_only=True).materialize()
+    ids = ds.select_columns(["doc_id"])
+    if raw.count() == 0:
+        return graph.components_frame_empty(ids, "doc_id", "dup_group")
+    cand = graph.dedupe_pairs(raw)
+    verified = _verify_jaccard_ds(ds, cand, jaccard_threshold).materialize()
+    if verified.count() == 0:
+        return graph.components_frame_empty(ids, "doc_id", "dup_group")
+    return graph.components_frame(ids, verified, "doc_id", "dup_group")
 
 
 # ---------------------------------------------------------------------------
@@ -317,24 +411,40 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split(" "):
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out >> 1  # 63-bit for int64
+    """64-bit SimHash over whitespace tokens (blake2b token hashes) —
+    value contract with round 1; see the batch form for the hot path."""
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Batch-vectorized SimHash: blake2b once per UNIQUE token in the batch,
+    ±1 bit matrix per unique token, per-doc segment sums via reduceat —
+    identical values to the per-token sequential loop (integer sums are
+    order-free)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    tok_lists = [t.split(" ") for t in texts]
+    all_toks = [tok for toks in tok_lists for tok in toks]
+    th_u, inv = _hash_unique_tokens(all_toks)
+    # (n_unique, 64) ±1 matrix from hash bits
+    bits = ((th_u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32)
+    pm = bits * 2 - 1
+    offs = np.concatenate([[0], np.cumsum([len(t) for t in tok_lists])])[:-1]
+    acc = np.add.reduceat(pm[inv], offs.astype(np.int64), axis=0)
+    # docs are non-empty by construction (split(" ") of "" is [""]): reduceat
+    # segments align 1:1 with docs
+    out = ((acc > 0).astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    return (out >> np.uint64(1)).astype(np.int64)  # 63-bit for int64
 
 
 def simhash_documents(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        hs = [simhash64(s) for s in t["text"].to_pylist()]
+        hs = simhash64_batch(t["text"].to_pylist())
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array(hs, type=pa.int64())})
 
@@ -349,9 +459,18 @@ def simhash_documents(sf_dir: str) -> pd.DataFrame:
 def ngram_jaccard_pairs(sf_dir: str, min_jaccard: float = 0.2) -> pd.DataFrame:
     """Exact word-3-gram Jaccard for LSH candidate pairs ≥ threshold —
     the verify half of near-dup, exposed as its own operator."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                            concurrency=(1, 4), num_cpus=1)
-    cand = _lsh_candidates(bands, star_only=False)
-    out = _verify_jaccard(ds, cand, min_jaccard)
+    raw = _lsh_candidates_ds(bands, star_only=False).materialize()
+    if raw.count() == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    cand = graph.dedupe_pairs(raw)
+    out = _verify_jaccard_ds(ds, cand, min_jaccard).to_pandas()
+    if "a" not in out.columns:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)

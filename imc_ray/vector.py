@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .geom import UnionFind
+from . import graph
 from .stages import read_table
 from .util import round_half_away
 
@@ -87,8 +87,9 @@ def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame
         qids_, Q_ = ray.get(q_ref)
         m = _emb_matrix(t)
         vid = t["vec_id"].to_numpy()
-        # float32 matmul then f64 normalization — batched model-free scoring
-        dots = (m @ Q_.T).astype(np.float64)
+        # f64 matmul: every f32·f32 product is exact in f64, so the cosine
+        # agrees with the DuckDB list-op oracle to well past round(4)
+        dots = m.astype(np.float64) @ Q_.astype(np.float64).T
         nm = np.sqrt((m * m).astype(np.float64).sum(axis=1))[:, None]
         nq = np.sqrt((Q_ * Q_).astype(np.float64).sum(axis=1))[None, :]
         cos = dots / (nm * nq)
@@ -252,9 +253,14 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
 
 def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-dup groups: LSH buckets (own + Hamming-1 overlap
-    via multi-probe emission) → in-bucket pairwise cosine ≥ τ → union-find →
-    (vec_id, dup_group = min member).  One row per vector."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    via multi-probe emission) → in-bucket pairwise cosine ≥ τ → DISTRIBUTED
+    connected components (:mod:`imc_ray.graph`) → (vec_id, dup_group = min
+    member).  One row per vector; no driver union-find / id materialization
+    (round-1 review item 8).  Multi-probe replicates each embedding ×13
+    through the shuffle — the documented trade for single-shuffle Hamming-≤2
+    candidate coverage; halving it would change the (approximate) candidate
+    set."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
     P_ref = ray.put(_planes(dim))
@@ -296,16 +302,13 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pd.DataFrame:
         return pd.DataFrame({"a": uniq[iu].astype(np.int64),
                              "b": uniq[ju].astype(np.int64)})
 
-    pairs = (ds.map_batches(emit, batch_format="pyarrow")
-             .groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
-             .to_pandas())
-    if "a" not in pairs.columns:
-        pairs = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64")})
-    pairs = pairs.drop_duplicates()
-    uf = UnionFind()
-    for a, b in zip(pairs["a"], pairs["b"]):
-        uf.union(int(a), int(b))
-    all_ids = sorted(int(v) for v in ds.unique("vec_id"))
-    return pd.DataFrame({"vec_id": all_ids,
-                         "dup_group": [uf.find(i) for i in all_ids]})
+    raw = (ds.map_batches(emit, batch_format="pyarrow")
+           .groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
+           .materialize())
+    ids = ds.select_columns(["vec_id"])
+    if raw.count() == 0:
+        return graph.components_frame_empty(ids, "vec_id", "dup_group")
+    # a pair can surface from several probe buckets — dedupe via groupby
+    # (keys only through the shuffle), then distributed min-label components
+    pairs = graph.dedupe_pairs(raw)
+    return graph.components_frame(ids, pairs, "vec_id", "dup_group")

@@ -75,6 +75,25 @@ def test_write_map_roundtrip(ray_session, tmp_path):
         paths["polygons"]).schema.field("ring").type
 
 
+def test_changed_input_invalidates_checkpoint(ray_session, ckpt_root):
+    """Round-1 review: same ckpt_root + different INPUT silently reused stale
+    checkpoints.  With the source fingerprint chained through the manifests,
+    a rerun over a different corpus must recompute, not replay."""
+    cfg = PipelineConfig(ckpt_root=ckpt_root, run_id="r4")
+    r1 = pipeline.run(stages.synth_pages(100, seed=42), cfg,
+                      source_token="synth:100:42")
+    n1 = int(r1["segments"].count())
+    r2 = pipeline.run(stages.synth_pages(160, seed=42), cfg,
+                      source_token="synth:160:42")
+    n2 = int(r2["segments"].count())
+    assert n2 > n1  # stale 100-doc checkpoints were NOT replayed
+    # and an identical rerun still resumes to the same result
+    r3 = pipeline.run(stages.synth_pages(160, seed=42), cfg,
+                      source_token="synth:160:42")
+    assert int(r3["segments"].count()) == n2
+    assert pipeline.full_labels(r3).equals(pipeline.full_labels(r2))
+
+
 def test_metrics_logged(ray_session, ckpt_root):
     cfg = PipelineConfig(ckpt_root=ckpt_root, run_id="r3")
     _run(cfg)

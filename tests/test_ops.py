@@ -47,6 +47,66 @@ class TestDedupFamily:
         assert rolling_hash64("abc") == rolling_hash64("abc")
         assert rolling_hash64("abc") != rolling_hash64("abd")
 
+    def test_hash_kernels_match_sequential_reference(self):
+        """Value contract (round-1 → round-2): the batch-vectorized FNV and
+        SimHash kernels must emit bit-identical values to the sequential
+        reference loops they replaced."""
+        import hashlib
+
+        from imc_ray import textops
+
+        texts = ["hello world", "", "a", "tok " * 300, "ünï ƒtèxt 一二三 mixed"]
+
+        def fnv_seq(text):
+            h = 14695981039346656037
+            for byte in text.encode("utf-8"):
+                h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        assert [int(x) for x in textops.rolling_hash64_batch(texts)] == \
+            [fnv_seq(t) for t in texts]
+
+        def simhash_seq(text):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in text.split(" "):
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            out = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    out |= 1 << i
+            return out >> 1
+
+        assert [int(x) for x in textops.simhash64_batch(texts)] == \
+            [simhash_seq(t) for t in texts]
+
+    def test_distributed_components_equal_unionfind(self, ray_session):
+        """graph.connected_components (join+groupby-min rounds, no driver
+        state) must equal the driver UnionFind on random edge sets — the
+        round-2 guarantee that near-dup group assembly is unchanged."""
+        import ray.data
+
+        from imc_ray import graph
+        from imc_ray.geom import UnionFind
+
+        rng = np.random.default_rng(7)
+        ids = np.arange(100, dtype=np.int64) + 1000
+        edges = pd.DataFrame({
+            "a": rng.choice(ids, 60),
+            "b": rng.choice(ids, 60),
+        })
+        uf = UnionFind()
+        for a, b in zip(edges["a"], edges["b"]):
+            uf.union(int(a), int(b))
+        want = pd.DataFrame({"doc_id": ids,
+                             "dup_group": [uf.find(int(i)) for i in ids]})
+        ids_ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+        got = graph.components_frame(ids_ds, ray.data.from_pandas(edges),
+                                     "doc_id", "dup_group")
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
 
 class TestSimilaritySearch:
     def test_brute_force_matches_numpy_reference(self, ray_session):
@@ -157,8 +217,11 @@ class TestMultimodal:
 
 class TestKnnJoin:
     def test_knn_against_bruteforce_hausdorff(self, ray_session):
-        """J4 kNN join must equal brute-force Hausdorff kNN within one site
-        (candidates complete inside the replication radius)."""
+        """J4 kNN join must equal GLOBAL brute-force Hausdorff kNN — the
+        ring-expansion fallback resolves sparse-region homes whose k-th
+        neighbor lies beyond the replication radius (round 1 truncated the
+        reference at 2M; cross-site neighbors kilometres away now count,
+        so this doubles as the sparse-region regression test)."""
         from imc_ray import geom, pipeline, stages
         from imc_ray.config import PipelineConfig
 
@@ -172,16 +235,13 @@ class TestKnnJoin:
         ids = segs_df["seg_id"].to_numpy()
         D = geom.hausdorff_block(S, S)
         mism = 0
-        radius = 2.0 * cfg.halo  # knn_query replication radius
         for r in range(len(S)):
             d = D[r].copy()
             d[r] = np.inf
-            # brute-force top-3 with the same (dist, seg_id) tie order,
-            # truncated at the documented partitioning radius: neighbors
-            # beyond it (cross-site, kilometres away) are out of contract
+            # brute-force top-3 with the same (dist, seg_id) tie order —
+            # no radius truncation: the fallback makes the join globally exact
             order = np.lexsort((ids, d))[:3]
-            order = [j for j in order if d[j] <= radius]
-            ref = [int(ids[j]) for j in order]
+            ref = [int(ids[j]) for j in order if np.isfinite(d[j])]
             mine = got[got.seg_id == ids[r]].sort_values("rank")["nbr_id"].to_numpy()
             if list(mine) != ref:
                 mism += 1

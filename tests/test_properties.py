@@ -47,6 +47,30 @@ class TestDistanceProperties:
         exact = geom.seg_distance_block(A, B) <= eps
         assert np.array_equal(exact, geom.close_pair_mask(A, B, eps))
 
+    @settings(max_examples=60, deadline=None)
+    @given(st.floats(min_value=1e6, max_value=1e7),
+           st.floats(min_value=1e6, max_value=1e7),
+           st.integers(min_value=0, max_value=2 ** 31 - 1),
+           st.floats(min_value=5.0, max_value=50.0))
+    def test_prefilter_exact_at_wide_offsets(self, ox, oy, seed, eps):
+        """Round-1 review: the fixed f32 margin dropped true ε-pairs beyond
+        ~10^6 m from the A-centroid.  The data-derived margin must keep the
+        prefiltered mask equal to the pure-f64 mask for corpus extents up to
+        10^7 m (whole-corpus oracle evaluation)."""
+        rng = np.random.default_rng(seed)
+        # two clusters far apart, each with near-ε geometry around (ox, oy)
+        base = np.array([ox, oy])
+        pts = rng.uniform(-30.0, 30.0, size=(12, 2)) + base
+        far = rng.uniform(-30.0, 30.0, size=(6, 2)) - base
+        mk = lambda p: np.column_stack(
+            [p[:, 0], p[:, 1],
+             p[:, 0] + rng.uniform(-40, 40, len(p)),
+             p[:, 1] + rng.uniform(-40, 40, len(p))])
+        A = mk(pts)
+        B = np.vstack([mk(pts), mk(far)])
+        exact = geom.seg_distance_block(A, B) <= eps
+        assert np.array_equal(exact, geom.close_pair_mask(A, B, eps))
+
 
 class TestCellProperties:
     @settings(max_examples=200, deadline=None)
