@@ -83,6 +83,15 @@ def run_bench() -> dict:
     n_trajs = int(res["segments"].select_columns(["traj_id"])
                   .groupby("traj_id").aggregate(_Count(alias_name="c")).count())
     throughput["trajectories_clustered_per_s"] = round(n_trajs / flagship_s, 1)
+    # spatial-join STAGE throughput in isolation (the whole-pipeline rows/s
+    # below divides by every other stage too, so it cannot show stage-level
+    # improvements; round-1 review item 5 asked for this measurement)
+    tiles_m = res["tiles"].materialize()
+    t0 = time.time()
+    n_sj = stages.spatial_join(tiles_m, res["polygons"], cfg).count()
+    sj_dt = time.time() - t0
+    throughput["spatial_join_stage_rows_per_s"] = round(n_sj / sj_dt, 1)
+    throughput["spatial_join_stage_sec"] = round(sj_dt, 3)
     throughput["spatial_join_rows_per_s"] = round(n_join_rows / flagship_s, 1)
     throughput["n_trajectories"] = n_trajs
     throughput["n_tile_cluster_rows"] = int(n_join_rows)

@@ -111,12 +111,76 @@ def assign_groups(ids: ray.data.Dataset, comps: ray.data.Dataset,
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+DRIVER_CC_MAX_EDGES = 5_000_000
+# edge sets up to this size run the driver-side vectorized propagation (the
+# edge list is THIN (a, b) int64 pairs — bounded by dup-pair count, never by
+# corpus size — so 5M edges is ~80 MB); above it the join+groupby-min rounds
+# run fully distributed.  Ray's shuffle fixed cost (~1-2 s per join/groupby,
+# ~8 ops for a CC) dominates below ~10^6 edges, measured 4.4 s for 246 edges.
+
+
+def _driver_components(edges_df: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
+    """Vectorized min-label propagation on the driver over the thin edge
+    list — identical result to connected_components (both equal UnionFind;
+    asserted in tests)."""
+    x = edges_df[a].to_numpy(dtype=np.int64)
+    y = edges_df[b].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([x, y]), return_inverse=True)
+    ei, ej = inv[: len(x)], inv[len(x):]
+    lab = nodes.copy()
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ei, lab[ej])
+        np.minimum.at(lab, ej, lab[ei])
+        if np.array_equal(lab, old):
+            break
+    return pd.DataFrame({"node": nodes, "comp": lab})
+
+
+def _assign_broadcast(ids: ray.data.Dataset, comps_df: pd.DataFrame,
+                      id_col: str, group_col: str) -> ray.data.Dataset:
+    """Attach groups via a ray.put of the (edge-bounded, small) component
+    map + vectorized searchsorted per batch — the ids side streams; no
+    corpus-proportional driver state."""
+    import ray as _ray
+
+    nodes = comps_df["node"].to_numpy(dtype=np.int64)
+    comp = comps_df["comp"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes, kind="stable")
+    ref = _ray.put((nodes[order], comp[order]))
+
+    def f(t: pa.Table) -> pa.Table:
+        ns, cs = _ray.get(ref)
+        v = pc.cast(t[id_col], pa.int64()).to_numpy()
+        if len(ns):
+            pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
+            grp = np.where(ns[pos] == v, cs[pos], v)
+        else:
+            grp = v
+        return pa.table({id_col: pa.array(v, type=pa.int64()),
+                         group_col: pa.array(grp, type=pa.int64())})
+
+    return ids.map_batches(f, batch_format="pyarrow")
+
+
 def components_frame(ids: ray.data.Dataset, edges: ray.data.Dataset,
-                     id_col: str, group_col: str) -> pd.DataFrame:
-    """Full distributed near-dup group assembly → small sorted DataFrame
-    (the queries() compare surface; the Dataset path is `assign_groups`)."""
-    comps = connected_components(edges)
-    out = assign_groups(ids, comps, id_col, group_col).to_pandas()
+                     id_col: str, group_col: str,
+                     driver_max_edges: int = DRIVER_CC_MAX_EDGES) -> pd.DataFrame:
+    """Near-dup group assembly → sorted DataFrame (the queries() compare
+    surface).  Routed by EDGE count (never corpus size): the driver
+    propagation + broadcast-map assignment below ``driver_max_edges``, the
+    fully-distributed join rounds above — same outputs either way (asserted
+    in tests)."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return components_frame_empty(ids, id_col, group_col)
+    if n_edges <= driver_max_edges:
+        comps_df = _driver_components(edges.to_pandas(), "a", "b")
+        out = _assign_broadcast(ids, comps_df, id_col, group_col).to_pandas()
+    else:
+        comps = connected_components(edges)
+        out = assign_groups(ids, comps, id_col, group_col).to_pandas()
     if id_col not in out.columns:  # empty input loses its schema
         return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                              group_col: pd.Series(dtype="int64")})

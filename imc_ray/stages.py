@@ -110,25 +110,49 @@ def _dedup_key_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("dkey", pa.array(key, type=pa.string()))
 
 
+_DEDUP_BROADCAST_MAX_URLS = 10_000_000
+# distinct-url counts up to this use the broadcast survivor map (~60 B/url →
+# ≤600 MB driver + object store); above it the survivor filter becomes a
+# native hash JOIN on url — the 10^12-url path, where page bodies shuffle
+# once (unavoidable for exact per-url dedup without a distributed KV side).
+
+
 def dedup_pages(ds: ray.data.Dataset,
-                num_partitions: int | None = None) -> ray.data.Dataset:
+                num_partitions: int | None = None,
+                broadcast_max_urls: int = _DEDUP_BROADCAST_MAX_URLS) -> ray.data.Dataset:
     """Keep the first crawl per url: min (warc_ts, content-hash) — D1.
 
-    Scale shape: the groupby aggregates only thin (url, dkey) rows; the
-    survivor filter is a native hash JOIN on url (both sides hash-partitioned
-    — no driver-side per-url state, unlike the round-1 broadcast map, which
-    capped at driver memory).  Rows that are byte-identical in (url, warc_ts,
-    text) remain the corpus contract (only full-duplicate rows tie)."""
-    if num_partitions is None:
-        num_partitions = join_partitions()
+    The groupby aggregates only thin (url, dkey) rows either way; the
+    SURVIVOR FILTER routes by distinct-url count: a broadcast min-key map
+    below ``broadcast_max_urls`` (bodies never shuffle — the bench-scale
+    fast path), a native hash join on url above it (no driver-side per-url
+    state — the web-scale path).  Identical outputs, asserted in tests.
+    Rows byte-identical in (url, warc_ts, text) remain the corpus contract
+    (only full-duplicate rows tie under the content-hash tie-break)."""
     keyed = ds.map_batches(_dedup_key_batch, batch_format="pyarrow")
     mins = (
         keyed.select_columns(["url", "dkey"])
         .groupby("url")
         .aggregate(Min("dkey", alias_name="min_dkey"))
-    )
+    ).materialize()
+
+    if mins.count() <= broadcast_max_urls:
+        min_map = mins.to_pandas().set_index("url")["min_dkey"]
+        ref = ray.put(min_map)
+
+        def keep_first_bcast(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            urls = pd.Index(batch["url"].to_pylist())
+            want = m.reindex(urls).to_numpy()
+            keys = np.asarray(batch["dkey"].to_pylist(), dtype=object)
+            out = batch.filter(pa.array(keys == want))
+            return out.drop_columns(["dkey"])
+
+        return keyed.map_batches(keep_first_bcast, batch_format="pyarrow")
+
     joined = keyed.join(mins, join_type="inner",
-                        num_partitions=num_partitions, on=("url",))
+                        num_partitions=num_partitions or join_partitions(),
+                        on=("url",))
 
     def keep_first(batch: pa.Table) -> pa.Table:
         out = batch.filter(pa.compute.equal(batch["dkey"], batch["min_dkey"]))
@@ -602,8 +626,10 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
     core-graph connectivity (SURVEY §4.4).  Volume is linear in replicated
     cores, not quadratic in edges.
 
-    At 10^12 scale the core-flag broadcast becomes a hash join on seg_id;
-    here it is a ray.put dict read once per task from the local store."""
+    Core flags reach the buckets either by driver broadcast (this function —
+    fine up to driver memory) or by the hash-join variant
+    :func:`dbscan_phase2_joined` (the 10^12 path — round-1 review item 4:
+    the broadcast fallback is now an implemented, tested feature)."""
     eps, min_lns = cfg.eps, cfg.min_lns
     w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
     # broadcast core flags as a sorted id array + flag array: workers look
@@ -618,77 +644,131 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
         core_ids, core_flags = ray.get(core_ref)
         segs, seg_ids, is_home = _group_arrays(g)
         traj = g["traj_id"].to_numpy()
-        hidx = np.nonzero(is_home)[0]
-        empty = pd.DataFrame(
-            {"seg_id": pd.Series(dtype="int64"),
-             "traj_id": pd.Series(dtype="object"),
-             "kind": pd.Series(dtype="int64"),
-             "ref": pd.Series(dtype="int64")}
-        )
-        if len(hidx) == 0:
-            return empty
         sid64 = seg_ids.astype(np.int64)
-        pos = np.searchsorted(core_ids, sid64)
-        pos = np.clip(pos, 0, max(len(core_ids) - 1, 0))
-        is_core = (core_ids[pos] == sid64) & core_flags[pos] \
-            if len(core_ids) else np.zeros(len(sid64), dtype=bool)
-        home_core = hidx[is_core[hidx]]
-        home_border = hidx[~is_core[hidx]]
-        chunk = 128
-        # collect edges (home core ↔ core) and border links as index arrays
-        E_i, E_j, B_i, B_j = [], [], [], []
-        for s in range(0, len(home_core), chunk):
-            q = home_core[s:s + chunk]
-            close = geom.close_pair_mask(segs[q], segs, eps, w)
-            ii, jj = np.nonzero(close & is_core[None, :])
-            gi = q[ii]
-            keep = gi != jj
-            E_i.append(gi[keep])
-            E_j.append(jj[keep])
-        for s in range(0, len(home_border), chunk):
-            q = home_border[s:s + chunk]
-            close = geom.close_pair_mask(segs[q], segs, eps, w)
-            ii, jj = np.nonzero(close & is_core[None, :])
-            B_i.append(q[ii])
-            B_j.append(jj)
-        ei = np.concatenate(E_i) if E_i else np.empty(0, dtype=np.int64)
-        ej = np.concatenate(E_j) if E_j else np.empty(0, dtype=np.int64)
-        # local components = vectorized min-label propagation over the
-        # home-incident core graph (converges to min seg_id per component —
-        # identical result to union-find, C-speed per round)
-        lab = seg_ids.astype(np.int64).copy()
-        while len(ei):
-            old = lab.copy()
-            np.minimum.at(lab, ei, lab[ej])
-            np.minimum.at(lab, ej, lab[ei])
-            if np.array_equal(lab, old):
-                break
-        node_idx = np.unique(np.concatenate([home_core, ej])) if len(ej) \
-            else home_core
-        out_seg = seg_ids[node_idx].astype(np.int64)
-        out_ref = lab[node_idx]
-        out_traj = traj[node_idx]
-        out_kind = np.zeros(len(node_idx), dtype=np.int64)
-        # borders: distinct (border seg, component rep of adjacent core)
-        if B_i and sum(len(b) for b in B_i):
-            bi = np.concatenate(B_i)
-            bj = np.concatenate(B_j)
-            pairs = np.unique(np.stack([bi, lab[bj]], axis=1), axis=0)
-            out_seg = np.concatenate([out_seg, seg_ids[pairs[:, 0]].astype(np.int64)])
-            out_ref = np.concatenate([out_ref, pairs[:, 1]])
-            out_traj = np.concatenate([out_traj, traj[pairs[:, 0]]])
-            out_kind = np.concatenate(
-                [out_kind, np.ones(len(pairs), dtype=np.int64)]
-            )
-        if len(out_seg) == 0:
-            return empty
-        return pd.DataFrame(
-            {"seg_id": out_seg, "traj_id": out_traj,
-             "kind": out_kind, "ref": out_ref}
-        )
+        if len(core_ids):
+            pos = np.clip(np.searchsorted(core_ids, sid64), 0,
+                          len(core_ids) - 1)
+            is_core = (core_ids[pos] == sid64) & core_flags[pos]
+        else:
+            is_core = np.zeros(len(sid64), dtype=bool)
+        return _phase2_emit(segs, seg_ids, is_home, traj, is_core, eps, w)
 
     out = keyed.groupby("gkey").map_groups(f, batch_format="pandas")
     return out.to_pandas()
+
+
+def _phase2_emit(segs, seg_ids, is_home, traj, is_core, eps, w) -> pd.DataFrame:
+    """Shared phase-2 bucket kernel: emit kind=0 (node → local component rep
+    over the home-incident core graph) and kind=1 (home border → adjacent
+    component rep) link rows, given per-row core flags."""
+    hidx = np.nonzero(is_home)[0]
+    empty = pd.DataFrame(
+        {"seg_id": pd.Series(dtype="int64"),
+         "traj_id": pd.Series(dtype="object"),
+         "kind": pd.Series(dtype="int64"),
+         "ref": pd.Series(dtype="int64")}
+    )
+    if len(hidx) == 0:
+        return empty
+    home_core = hidx[is_core[hidx]]
+    home_border = hidx[~is_core[hidx]]
+    chunk = 128
+    # collect edges (home core ↔ core) and border links as index arrays
+    E_i, E_j, B_i, B_j = [], [], [], []
+    for s in range(0, len(home_core), chunk):
+        q = home_core[s:s + chunk]
+        close = geom.close_pair_mask(segs[q], segs, eps, w)
+        ii, jj = np.nonzero(close & is_core[None, :])
+        gi = q[ii]
+        keep = gi != jj
+        E_i.append(gi[keep])
+        E_j.append(jj[keep])
+    for s in range(0, len(home_border), chunk):
+        q = home_border[s:s + chunk]
+        close = geom.close_pair_mask(segs[q], segs, eps, w)
+        ii, jj = np.nonzero(close & is_core[None, :])
+        B_i.append(q[ii])
+        B_j.append(jj)
+    ei = np.concatenate(E_i) if E_i else np.empty(0, dtype=np.int64)
+    ej = np.concatenate(E_j) if E_j else np.empty(0, dtype=np.int64)
+    # local components = vectorized min-label propagation over the
+    # home-incident core graph (converges to min seg_id per component —
+    # identical result to union-find, C-speed per round)
+    lab = seg_ids.astype(np.int64).copy()
+    while len(ei):
+        old = lab.copy()
+        np.minimum.at(lab, ei, lab[ej])
+        np.minimum.at(lab, ej, lab[ei])
+        if np.array_equal(lab, old):
+            break
+    node_idx = np.unique(np.concatenate([home_core, ej])) if len(ej) \
+        else home_core
+    out_seg = seg_ids[node_idx].astype(np.int64)
+    out_ref = lab[node_idx]
+    out_traj = traj[node_idx]
+    out_kind = np.zeros(len(node_idx), dtype=np.int64)
+    # borders: distinct (border seg, component rep of adjacent core)
+    if B_i and sum(len(b) for b in B_i):
+        bi = np.concatenate(B_i)
+        bj = np.concatenate(B_j)
+        pairs = np.unique(np.stack([bi, lab[bj]], axis=1), axis=0)
+        out_seg = np.concatenate([out_seg, seg_ids[pairs[:, 0]].astype(np.int64)])
+        out_ref = np.concatenate([out_ref, pairs[:, 1]])
+        out_traj = np.concatenate([out_traj, traj[pairs[:, 0]]])
+        out_kind = np.concatenate(
+            [out_kind, np.ones(len(pairs), dtype=np.int64)]
+        )
+    if len(out_seg) == 0:
+        return empty
+    return pd.DataFrame(
+        {"seg_id": out_seg, "traj_id": out_traj,
+         "kind": out_kind, "ref": out_ref}
+    )
+
+
+def dbscan_phase1_ds(keyed: ray.data.Dataset,
+                     cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Dataset-returning :func:`dbscan_phase1` (feeds the join variant —
+    core flags never touch the driver)."""
+    eps, min_lns = cfg.eps, cfg.min_lns
+    w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        segs, seg_ids, is_home = _group_arrays(g)
+        hidx = np.nonzero(is_home)[0]
+        if len(hidx) == 0:
+            return pd.DataFrame({"seg_id": [], "is_core": []}).astype(
+                {"seg_id": "int64", "is_core": "bool"}
+            )
+        core, _ = geom.core_flags(segs, eps, min_lns, w, query_idx=hidx,
+                                  chunk=128)
+        return pd.DataFrame({"seg_id": seg_ids[hidx].astype(np.int64),
+                             "is_core": core})
+
+    return keyed.groupby("gkey").map_groups(f, batch_format="pandas")
+
+
+def dbscan_phase2_joined(keyed: ray.data.Dataset,
+                         core_flags: ray.data.Dataset,
+                         cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Two-phase variant where phase-1 core flags reach every replicated row
+    via a native hash JOIN on seg_id instead of a driver broadcast — the
+    10^12-row path for shuffle-byte-bound deployments (phase-1 output is one
+    row per segment; a broadcast of it caps at driver memory).  Emits the
+    same link rows as :func:`dbscan_phase2` (asserted in tests)."""
+    eps = cfg.eps
+    w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
+    flagged = keyed.join(core_flags, join_type="left_outer",
+                         num_partitions=join_partitions(),
+                         on=("seg_id",))
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        segs, seg_ids, is_home = _group_arrays(g)
+        traj = g["traj_id"].to_numpy()
+        is_core = g["is_core"].fillna(False).to_numpy(dtype=bool)
+        return _phase2_emit(segs, seg_ids, is_home, traj, is_core, eps, w)
+
+    return flagged.groupby("gkey").map_groups(f, batch_format="pandas")
 
 
 def merge_labels_distributed(links: ray.data.Dataset,

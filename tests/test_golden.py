@@ -124,6 +124,14 @@ def test_two_phase_equals_single_pass(ray_session, gold):
     assert list(lab2p["seg_id"]) == list(lab1p["seg_id"])
     assert list(lab2p["cluster_id"]) == list(lab1p["cluster_id"])
 
+    # join-based core-flag attach (no driver broadcast) must emit identical
+    # labels to the broadcast variant — the 10^12 two-phase path
+    core_ds = stages.dbscan_phase1_ds(keyed1, cfg)
+    links_j = stages.dbscan_phase2_joined(keyed1, core_ds, cfg).to_pandas()
+    lab_j = stages.merge_labels(links_j, cfg).sort_values("seg_id")
+    assert list(lab_j["seg_id"]) == list(lab2p["seg_id"])
+    assert list(lab_j["cluster_id"]) == list(lab2p["cluster_id"])
+
 
 def test_distributed_merge_equals_driver_merge(ray_session, gold):
     """merge_labels_distributed (no driver materialization) must equal the

@@ -82,6 +82,20 @@ class TestDedupFamily:
         assert [int(x) for x in textops.simhash64_batch(texts)] == \
             [simhash_seq(t) for t in texts]
 
+    def test_dedup_pages_routes_identical(self, ray_session):
+        """Broadcast-map and hash-join survivor filters must keep the exact
+        same page rows (the route is picked by distinct-url count)."""
+        from imc_ray import stages
+
+        pages = stages.synth_pages(150, seed=42).materialize()
+        a = (stages.dedup_pages(pages).to_pandas()
+             .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+        b = (stages.dedup_pages(pages, broadcast_max_urls=0).to_pandas()
+             .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+        assert len(a) > 0
+        assert a[["url", "warc_ts", "text", "lang"]].equals(
+            b[["url", "warc_ts", "text", "lang"]])
+
     def test_distributed_components_equal_unionfind(self, ray_session):
         """graph.connected_components (join+groupby-min rounds, no driver
         state) must equal the driver UnionFind on random edge sets — the
@@ -103,9 +117,15 @@ class TestDedupFamily:
         want = pd.DataFrame({"doc_id": ids,
                              "dup_group": [uf.find(int(i)) for i in ids]})
         ids_ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+        # driver route (edge count below threshold)
         got = graph.components_frame(ids_ds, ray.data.from_pandas(edges),
                                      "doc_id", "dup_group")
         assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+        # distributed route forced — must be identical
+        got_d = graph.components_frame(ids_ds, ray.data.from_pandas(edges),
+                                       "doc_id", "dup_group",
+                                       driver_max_edges=0)
+        assert got_d.reset_index(drop=True).equals(want.reset_index(drop=True))
 
 
 class TestSimilaritySearch:
