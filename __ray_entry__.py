@@ -109,6 +109,27 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _media_frame_features(sf_dir: str) -> pd.DataFrame:
+    """Video-style plumbing: frame-sample (1 row → n rows) → resize →
+    per-frame featurize, all actor-pool stages (rows-only; decode is the
+    documented stub)."""
+    from imc_ray import multimodal, stages
+
+    pages = stages.pages_from_documents(sf_dir)
+    media = multimodal.pages_as_media(pages)
+    frames = multimodal.sample_frames(media, n_frames=3)
+    resized = multimodal.resize_media(frames, 16, 16)
+    # resized frames keep (media_id, payload) — featurize per frame
+    feats = multimodal.featurize_media(resized).to_pandas()
+    out = pd.DataFrame({
+        "media_id": feats["media_id"],
+        "n_bytes": feats["n_bytes"].astype("int64"),
+        "feat_dim": [len(f) for f in feats["feature"]],
+    })
+    return (out.sort_values(["media_id", "n_bytes"])
+            .reset_index(drop=True))
+
+
 def _geo_points(sf_dir: str) -> pd.DataFrame:
     """M2/M4 parse surface: exploded projected points (rows-only check)."""
     from imc_ray import stages
@@ -158,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": R.embedding_norms,
         "sample_orders_count": R.sample_orders_count,
         "left_join_customer_orders": R.left_join_customer_orders,
+        "top_orders_per_customer": R.top_orders_per_customer,
+        "order_price_quantiles": R.order_price_quantiles,
+        "token_stats": T.token_stats,
         "q6_revenue_delta": R.q6_revenue_delta,
         "distinct_users_per_type": R.distinct_users_per_type,
         "lang_set_ops": R.lang_set_ops,
@@ -179,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ones": V.ann_topk_ones,
         "knn_brute_force": V.knn_brute_force,
         "ann_lsh": V.ann_lsh,
+        "ann_ivf": V.ann_ivf,
         "embedding_near_dup": V.embedding_near_dup,
         # sketches (A5 — approximate; accuracy asserted in pytest)
         "approx_distinct_hll": _approx_distinct,
@@ -192,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_cluster": _geo_tile_cluster,
         "geo_knn": _geo_knn,
         "media_features": _media_features,
+        "media_frame_features": _media_frame_features,
     }
 
 
@@ -387,6 +413,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round({_sm} / (sqrt({_sq}) * sqrt(len(embedding))), 4) AS cos_ones
             FROM embeddings ORDER BY vec_id
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders
+            )
+            WHERE rnk <= 3
+            ORDER BY o_custkey, rnk
+        """,
+        "order_price_quantiles": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "left_join_customer_orders": """
             SELECT c.c_custkey, c.c_name,

@@ -129,6 +129,73 @@ def featurize_media(ds: ray.data.Dataset, concurrency=(1, 4),
     )
 
 
+class MediaResizer:
+    """Actor-pool resize stage (codec 'loaded' once per actor; stride-sample
+    stub in this codec-less environment — see module docstring)."""
+
+    def __init__(self, width: int, height: int, use_stub: bool = True):
+        self.width, self.height = int(width), int(height)
+        self.use_stub = use_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch["payload"].to_pylist():
+            if self.use_stub:
+                out.append(fake_resize(payload or b"", self.width, self.height))
+            else:
+                out.append(_resize_real(payload, self.width, self.height))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(out, type=pa.binary()),
+            "width": pa.array([self.width] * batch.num_rows, type=pa.int32()),
+            "height": pa.array([self.height] * batch.num_rows, type=pa.int32()),
+        })
+
+
+def resize_media(ds: ray.data.Dataset, width: int, height: int,
+                 concurrency=(1, 4), batch_size: int = 256) -> ray.data.Dataset:
+    """Media Dataset → fixed-size payloads (actor pool; small batches —
+    payload rows are fat)."""
+    return ds.map_batches(MediaResizer, fn_constructor_args=(width, height),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+class FrameSampler:
+    """Actor-pool video frame-sampling stage: one input row → n_frames output
+    rows (flat-map shape), frame index carried alongside."""
+
+    def __init__(self, n_frames: int = 4, use_stub: bool = True):
+        self.n_frames = int(n_frames)
+        self.use_stub = use_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, fidx = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            fs = (fake_frame_sample(payload or b"", self.n_frames)
+                  if self.use_stub
+                  else _frame_sample_real(payload, self.n_frames))
+            for i, f in enumerate(fs):
+                ids.append(mid)
+                frames.append(f)
+                fidx.append(i)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "payload": pa.array(frames, type=pa.binary()),
+        })
+
+
+def sample_frames(ds: ray.data.Dataset, n_frames: int = 4,
+                  concurrency=(1, 4), batch_size: int = 128) -> ray.data.Dataset:
+    """Media Dataset → per-frame rows (n_frames × input rows); feed the
+    result to :func:`featurize_media` for per-frame features."""
+    return ds.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
 def pages_as_media(pages: ray.data.Dataset) -> ray.data.Dataset:
     """Adapter: pages html payloads as an opaque media table (test fixture)."""
 

@@ -299,6 +299,48 @@ def anti_join_customers(sf_dir: str) -> pd.DataFrame:
     return _key_filter_customers(sf_dir, False)
 
 
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (window rank): each customer's k most expensive orders
+    — groupby(custkey).map_groups with a per-group lexsort head(k), the
+    partition-local window pattern (no global sort)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+
+    out = (ds.groupby("o_custkey").map_groups(f, batch_format="pandas")
+           .to_pandas().sort_values(["o_custkey", "rnk"])
+           .reset_index(drop=True))
+    return _r(out, ["o_totalprice"])
+
+
+def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Percentile aggregate per group: median + p90 of o_totalprice per
+    order priority — per-group numpy linear-interpolation quantiles (matches
+    DuckDB quantile_cont).  At scale the same shape runs over a t-digest
+    sketch; exact per-group quantiles here because groups fit in memory."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n": np.array([len(v)], dtype=np.int64),
+            "median_price": [float(np.percentile(v, 50))],
+            "p90_price": [float(np.percentile(v, 90))],
+        })
+
+    out = (ds.groupby("o_orderpriority").map_groups(f, batch_format="pandas")
+           .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    return _r(out, ["median_price", "p90_price"])
+
+
 def left_join_customer_orders(sf_dir: str, threshold: float = 250000.0) -> pd.DataFrame:
     """J1 LEFT OUTER join (SURVEY §2.5 "inner/left" — the left side was
     unproven in round 1): every customer joined to per-customer big-order

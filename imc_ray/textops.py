@@ -119,6 +119,41 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+class BpeTokenCounter:
+    """Actor-pool stage: the BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / punctuation runs — the GPT-2 pre-tokenization shape,
+    ASCII-safe so Python re and DuckDB RE2 agree exactly) compiles once per
+    actor; counts both whitespace and regex tokens per document."""
+
+    PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(self.PATTERN)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_ws = pc.cast(pc.add(pc.count_substring(t["text"], " "),
+                              pa.scalar(1)), pa.int64())
+        n_bpe = [len(self.pat.findall(s)) for s in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": n_ws,
+            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64()),
+        })
+
+
+def token_stats(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per document — the
+    training-data token budget surface; oracle-mirrored via DuckDB
+    regexp_extract_all on the identical pattern."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(BpeTokenCounter, batch_format="pyarrow",
+                         batch_size=2048, concurrency=(1, 4),
+                         num_cpus=1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Language-ID — stopword/character heuristic (no SQL oracle; rows-only)
 # ---------------------------------------------------------------------------

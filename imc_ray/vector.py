@@ -3,7 +3,11 @@
 * brute-force cosine top-k: numpy matmul per batch against a broadcast query
   matrix (the scale baseline — queries are ray.put once, read per actor)
 * LSH-bucketed ANN: seeded random-hyperplane signs → bucket groupby → search
-  own + Hamming-1 buckets (the scale path; recall vs brute force is tested)
+  own + Hamming-1 buckets (recall vs brute force is tested)
+* IVF ANN: coarse k-means centroids trained on a seeded sample (driver-side
+  numpy over the SAMPLE only), broadcast; queries probe the nprobe nearest
+  cells; each batch scores only its rows landing in probed cells — the
+  classic inverted-file scale path (scan work drops by ~nprobe/nlist)
 * embedding-cosine near-dup: all pairs with cosine ≥ τ via bucket-join
 
 Float discipline: element products are computed in float32 then accumulated
@@ -246,6 +250,106 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     if not out:
         return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cos"])
     res = pd.concat(out, ignore_index=True)
+    res["cos"] = round_half_away(res["cos"], 4)
+    return res[["query_id", "rank", "vec_id", "cos"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file coarse quantizer — the second scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_NLIST = 32
+_IVF_NPROBE = 6
+_IVF_TRAIN = 2048  # training sample size (seeded, deterministic)
+
+
+def _ivf_centroids(sample: np.ndarray, nlist: int, iters: int = 8,
+                   seed: int = 42) -> np.ndarray:
+    """Seeded k-means over the (driver-held) TRAINING SAMPLE only — sample
+    size is a constant, never corpus-proportional.  Deterministic: fixed
+    init, fixed iteration count, stable empty-cell reseeding."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = len(sample)
+    idx = rng.choice(n, size=min(nlist, n), replace=False)
+    C = sample[np.sort(idx)].astype(np.float64).copy()
+    X = sample.astype(np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+            else:  # reseed empty cell deterministically: farthest point
+                C[c] = X[d.min(axis=1).argmax()]
+    return C.astype(np.float32)
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
+            nlist: int = _IVF_NLIST, nprobe: int = _IVF_NPROBE) -> pd.DataFrame:
+    """IVF ANN: train nlist coarse centroids on a seeded sample, broadcast
+    (centroids, queries, per-query probe lists); each batch assigns its rows
+    to cells with one matmul and scores only rows in probed cells — partial
+    top-k per batch, tiny driver merge.  Approximate: recall vs brute force
+    asserted in tests (rows-only driver check).  At 10^9+ vectors the same
+    shape holds — the broadcast is (nlist×dim + queries), constant."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # deterministic training sample + queries: first rows by vec_id
+    head = ds.sort("vec_id").limit(max(_IVF_TRAIN, n_queries)).to_pandas()
+    sample = np.asarray(head["embedding"].tolist(), dtype=np.float32)
+    C = _ivf_centroids(sample, nlist)
+    qdf = head.iloc[:n_queries]
+    Q = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    qids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    # probe lists: nprobe nearest centroids per query (euclidean)
+    dq = ((Q.astype(np.float64)[:, None, :]
+           - C.astype(np.float64)[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids, Q, C, probes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, Q_, C_, probes_ = ray.get(ref)
+        m = _emb_matrix(t)
+        vid = t["vec_id"].to_numpy()
+        out = {"query_id": [], "vec_id": [], "cos": []}
+        if len(m):
+            # one matmul assigns every row to its nearest centroid:
+            # argmin ||x-c||² = argmax (x·c - ||c||²/2)
+            cc = (C_.astype(np.float64) ** 2).sum(axis=1) / 2.0
+            cell = (m.astype(np.float64) @ C_.astype(np.float64).T
+                    - cc[None, :]).argmax(axis=1)
+            nm = np.sqrt((m * m).astype(np.float64).sum(axis=1))
+            for qi in range(len(qids_)):
+                mask = np.isin(cell, probes_[qi])
+                mask &= vid != qids_[qi]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                sub = m[idx].astype(np.float64)
+                q = Q_[qi].astype(np.float64)
+                cos = (sub @ q) / (nm[idx] * np.sqrt((q * q).sum()))
+                order = np.lexsort((vid[idx], -cos))[:k]
+                out["query_id"] += [int(qids_[qi])] * len(order)
+                out["vec_id"] += [int(v) for v in vid[idx][order]]
+                out["cos"] += [float(x) for x in cos[order]]
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "cos": pa.array(out["cos"]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    if len(parts):
+        for qid, g in parts.groupby("query_id"):
+            g = (g.sort_values(["cos", "vec_id"], ascending=[False, True])
+                 .head(k).reset_index(drop=True))
+            g["rank"] = np.arange(len(g), dtype=np.int64)
+            rows.append(g)
+    if not rows:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cos"])
+    res = pd.concat(rows, ignore_index=True)
     res["cos"] = round_half_away(res["cos"], 4)
     return res[["query_id", "rank", "vec_id", "cos"]].sort_values(
         ["query_id", "rank"]).reset_index(drop=True)

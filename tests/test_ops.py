@@ -164,6 +164,34 @@ class TestSimilaritySearch:
             tot += len(want)
         assert tot > 0 and hits / tot >= 0.4  # approximate path: bounded recall
 
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        """IVF probes nprobe/nlist of the corpus; recall bounded below and
+        every returned cos must equal the brute-force cos for that pair
+        (scoring is exact within probed cells)."""
+        from imc_ray import vector
+
+        bf = vector.knn_brute_force(SF, n_queries=5, k=5)
+        ivf = vector.ann_ivf(SF, n_queries=5, k=5)
+        assert set(ivf.columns) == {"query_id", "rank", "vec_id", "cos"}
+        hits = tot = 0
+        for qid in bf["query_id"].unique():
+            want = set(bf[bf.query_id == qid]["vec_id"])
+            got = set(ivf[ivf.query_id == qid]["vec_id"])
+            hits += len(want & got)
+            tot += len(want)
+        assert tot > 0 and hits / tot >= 0.3  # random embeddings: bounded
+        # exactness of returned scores on the intersection
+        m = ivf.merge(bf, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
+        if len(m):
+            assert (m["cos_i"] == m["cos_b"]).all()
+
+    def test_ivf_deterministic(self, ray_session):
+        from imc_ray import vector
+
+        a = vector.ann_ivf(SF, n_queries=3, k=4)
+        b = vector.ann_ivf(SF, n_queries=3, k=4)
+        assert a.equals(b)
+
     def test_embedding_near_dup_rows(self, ray_session):
         from imc_ray import vector
 
@@ -206,6 +234,24 @@ class TestMultimodal:
         assert len(feats) == 30
         assert all(len(f) == multimodal.FEATURE_DIM for f in feats["feature"])
         assert (feats["n_bytes"] > 0).all()
+
+    def test_frame_sample_resize_pipeline(self, ray_session):
+        """Video-style chain: frame-sample (1→n rows) → resize (fixed-size
+        payloads) → per-frame featurize, all actor-pool stages."""
+        from imc_ray import multimodal, stages
+
+        pages = stages.synth_pages(20, seed=42)
+        media = multimodal.pages_as_media(pages)
+        frames = multimodal.sample_frames(media, n_frames=3).materialize()
+        fdf = frames.to_pandas()
+        assert len(fdf) == 60  # 20 media × 3 frames
+        assert set(fdf["frame_idx"]) == {0, 1, 2}
+        resized = multimodal.resize_media(frames, 8, 4).to_pandas()
+        assert all(len(p) == 32 for p in resized["payload"])
+        feats = multimodal.featurize_media(
+            multimodal.resize_media(frames, 8, 4)).to_pandas()
+        assert len(feats) == 60
+        assert all(len(f) == multimodal.FEATURE_DIM for f in feats["feature"])
 
     def test_fake_features_deterministic(self):
         from imc_ray.multimodal import fake_features
