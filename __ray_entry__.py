@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": R.embedding_norms,
         "sample_orders_count": R.sample_orders_count,
         "left_join_customer_orders": R.left_join_customer_orders,
+        "order_activity_full_outer": R.order_activity_full_outer,
         "top_orders_per_customer": R.top_orders_per_customer,
         "order_price_quantiles": R.order_price_quantiles,
         "token_stats": T.token_stats,
@@ -413,6 +414,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round({_sm} / (sqrt({_sq}) * sqrt(len(embedding))), 4) AS cos_ones
             FROM embeddings ORDER BY vec_id
+        """,
+        "order_activity_full_outer": """
+            SELECT CAST(coalesce(b.o_custkey, r.o_custkey) AS BIGINT) AS o_custkey,
+                   CAST(coalesce(b.n_big, 0)    AS BIGINT) AS n_big,
+                   CAST(coalesce(r.n_recent, 0) AS BIGINT) AS n_recent
+            FROM (SELECT o_custkey, count(*) AS n_big
+                  FROM orders WHERE o_totalprice > 300000
+                  GROUP BY o_custkey) b
+            FULL OUTER JOIN
+                 (SELECT o_custkey, count(*) AS n_recent
+                  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  GROUP BY o_custkey) r
+            ON b.o_custkey = r.o_custkey
+            ORDER BY o_custkey
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey,

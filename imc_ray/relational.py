@@ -375,6 +375,39 @@ def left_join_customer_orders(sf_dir: str, threshold: float = 250000.0) -> pd.Da
     return _r(out, ["total_big"])
 
 
+def order_activity_full_outer(sf_dir: str) -> pd.DataFrame:
+    """J1 FULL OUTER join: per-customer big-order stats ⋈ per-customer
+    recent-order stats — both sides are strict subsets of the customer set,
+    so every outer case (left-only / right-only / both) occurs; null-fill
+    zeros.  Completes the join-type surface (inner/left/semi/anti + full)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    big = (orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))),
+        batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Count(alias_name="n_big")))
+    recent = (orders.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(np.datetime64("1998-01-01", "us")))),
+        batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Count(alias_name="n_recent")))
+
+    joined = big.join(recent, join_type="full_outer",
+                      num_partitions=join_partitions(cap=8),
+                      on=("o_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "n_big": pc.fill_null(pc.cast(t["n_big"], pa.int64()), 0),
+            "n_recent": pc.fill_null(pc.cast(t["n_recent"], pa.int64()), 0),
+        })
+
+    return (joined.map_batches(fill, batch_format="pyarrow").to_pandas()
+            .sort_values("o_custkey").reset_index(drop=True))
+
+
 def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6-style filter-aggregate with the predicate pushed INTO the
     parquet read (row-group pruning at the source — SURVEY 'prune at the

@@ -134,9 +134,12 @@ def dedup_pages(ds: ray.data.Dataset,
         keyed.select_columns(["url", "dkey"])
         .groupby("url")
         .aggregate(Min("dkey", alias_name="min_dkey"))
-    ).materialize()
+    )
 
-    if mins.count() <= broadcast_max_urls:
+    # route on the INPUT row count (free metadata when the caller pinned the
+    # pages — pipeline.run does): rows ≥ distinct urls, so this is
+    # conservative, and it avoids a materialize+count barrier on mins
+    if ds.count() <= broadcast_max_urls:
         min_map = mins.to_pandas().set_index("url")["min_dkey"]
         ref = ray.put(min_map)
 
