@@ -154,6 +154,12 @@ def _approx_distinct(sf_dir: str) -> pd.DataFrame:
     return sketches.approx_distinct_query(sf_dir)
 
 
+def _quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    from imc_ray import sketches
+
+    return sketches.quantile_sketch_query(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from imc_ray import relational as R
     from imc_ray import textops as T
@@ -206,8 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": V.ann_lsh,
         "ann_ivf": V.ann_ivf,
         "embedding_near_dup": V.embedding_near_dup,
+        "top_tokens": T.top_tokens,
         # sketches (A5 — approximate; accuracy asserted in pytest)
         "approx_distinct_hll": _approx_distinct,
+        "quantile_sketch_prices": _quantile_sketch,
         # geometry pipeline (rows-only; oracle = imc_ray.oracle via pytest)
         "geo_segments": _geo_segments,
         "geo_points": _geo_points,
@@ -448,6 +456,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 20
         """,
         "token_stats": r"""
             SELECT doc_id,

@@ -237,10 +237,47 @@ def run_scaling() -> dict:
     return out
 
 
+def run_stats() -> str:
+    """Dump Ray Data per-operator stats for the flagship datasets (the
+    measure-don't-guess loop: wall time per operator, block counts, task
+    breakdown) to BENCH/stats_flagship.txt."""
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    from imc_ray import pipeline, stages
+    from imc_ray.config import PipelineConfig
+
+    docs = int(os.environ.get("GRAFT_STATS_DOCS", "20000"))
+    res = pipeline.run(stages.synth_pages(docs, seed=42, n_sites=100), PipelineConfig())
+    res["tile_cluster"] = res["tile_cluster"].materialize()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH", "stats_flagship.txt")
+    with open(out, "w") as f:
+        f.write(f"# ds.stats() for the flagship at {docs} docs, "
+                f"{NUM_CPUS} CPUs\n\n## segments\n")
+        f.write(res["segments"].stats())
+        f.write("\n\n## tiles\n")
+        f.write(res["tiles"].materialize().stats())
+        f.write("\n\n## tile_cluster (spatial join)\n")
+        f.write(res["tile_cluster"].stats())
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if os.environ.get("GRAFT_BENCH_MODE") == "flagship":
         print(json.dumps(run_flagship_only()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        print(run_stats())
     else:
         print(json.dumps(run_bench()))

@@ -78,6 +78,71 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
     return hll_estimate(merged)
 
 
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (the at-scale quantile path —
+# order_price_quantiles' exact per-group math holds while groups fit memory;
+# this holds at any size)
+# ---------------------------------------------------------------------------
+
+_QBUCKETS = 4096
+
+
+def quantile_sketch(ds: ray.data.Dataset, col: str,
+                    qs=(0.5, 0.9, 0.99)) -> dict:
+    """Two-pass deterministic mergeable quantile estimate:
+
+    pass 1 — global min/max (native aggregate);
+    pass 2 — per-batch fixed-boundary histogram (one _QBUCKETS-int row per
+             batch), summed on the driver; quantiles interpolate linearly
+             within the hit bucket, so error ≤ one bucket width
+             ((max−min)/4096) regardless of data order or partitioning —
+             fully deterministic, unlike greedy compaction sketches."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"),
+                         Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    if n == 0:
+        return {"n": 0, "quantiles": {q: float("nan") for q in qs}}
+    width = max((hi - lo) / _QBUCKETS, 1e-300)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy().astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, _QBUCKETS - 1)
+        hist = np.bincount(b, minlength=_QBUCKETS).astype(np.int64)
+        return pa.table({"hist": pa.array([hist.tobytes()], type=pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    hist = np.zeros(_QBUCKETS, dtype=np.int64)
+    for blob in parts["hist"]:
+        hist += np.frombuffer(blob, dtype=np.int64)
+    cum = np.cumsum(hist)
+    out = {}
+    for q in qs:
+        target = q * n
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, _QBUCKETS - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        frac = (target - prev) / max(hist[b], 1)
+        out[q] = lo + (b + min(frac, 1.0)) * width
+    return {"n": n, "quantiles": out}
+
+
+def quantile_sketch_query(sf_dir: str) -> pd.DataFrame:
+    """Sketch quantiles of lineitem extended price (rows-only; accuracy vs
+    exact asserted in tests/test_ops.py)."""
+    from .stages import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    r = quantile_sketch(ds, "l_extendedprice")
+    return pd.DataFrame({
+        "q": [0.5, 0.9, 0.99],
+        "est": [round(r["quantiles"][q], 2) for q in (0.5, 0.9, 0.99)],
+        "n": np.array([r["n"]] * 3, dtype=np.int64),
+    })
+
+
 def approx_distinct_query(sf_dir: str) -> pd.DataFrame:
     """A5 as a queries() entry: HLL estimates vs the columns' true scale
     (rows-only check; accuracy asserted in tests/test_ops.py)."""

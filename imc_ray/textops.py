@@ -209,6 +209,33 @@ def lang_id_documents(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide token frequencies, top-k (the canonical wordcount): tokens
+    pre-aggregate INSIDE each batch (np.unique partial counts — the
+    combiner), so the groupby shuffles one row per (batch, distinct token),
+    not one per token occurrence; tiny sort+limit on the aggregate."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = [tok for s in t["text"].to_pylist() for tok in s.split(" ")]
+        if not toks:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(), type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(_Sum("n", alias_name="n")))
+    out = (agg.sort(["n", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out[["token", "n"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Token / shingle hashing shared by minhash + simhash (vectorized kernels)
 # ---------------------------------------------------------------------------

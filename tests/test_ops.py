@@ -82,6 +82,41 @@ class TestDedupFamily:
         assert [int(x) for x in textops.simhash64_batch(texts)] == \
             [simhash_seq(t) for t in texts]
 
+    def test_quantile_sketch_accuracy(self, ray_session):
+        """Histogram sketch quantiles within one bucket width of exact."""
+        import pyarrow.parquet as pq
+
+        from imc_ray import sketches
+        from imc_ray.stages import read_table
+
+        ds = read_table(SF, "lineitem", columns=["l_extendedprice"])
+        r = sketches.quantile_sketch(ds, "l_extendedprice")
+        v = pq.read_table(f"{SF}/lineitem.parquet",
+                          columns=["l_extendedprice"])["l_extendedprice"] \
+            .to_numpy()
+        width = (v.max() - v.min()) / 4096
+        for q in (0.5, 0.9, 0.99):
+            exact = float(np.percentile(v, q * 100))
+            assert abs(r["quantiles"][q] - exact) <= width + 1e-9, q
+        # determinism across runs (fixed boundaries, order-free sums)
+        r2 = sketches.quantile_sketch(ds, "l_extendedprice")
+        assert r == r2
+
+    def test_top_tokens_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from imc_ray import textops
+
+        got = textops.top_tokens(SF, k=10)
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        cnt = pd.Series([t for s in texts for t in s.split(" ")]).value_counts()
+        ref = (cnt.rename_axis("token").reset_index(name="n")
+               .sort_values(["n", "token"], ascending=[False, True])
+               .head(10).reset_index(drop=True))
+        assert list(got["token"]) == list(ref["token"])
+        assert list(got["n"]) == list(ref["n"])
+
     def test_dedup_pages_routes_identical(self, ray_session):
         """Broadcast-map and hash-join survivor filters must keep the exact
         same page rows (the route is picked by distinct-url count)."""
