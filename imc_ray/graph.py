@@ -66,11 +66,12 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
                          "nbr": pa.array(nbr, type=pa.int64())})
 
     edge_ds = edges.map_batches(to_edges, batch_format="pyarrow").materialize()
-    # .repartition(1) folds away the degenerate-schema empty partitions Ray's
-    # hash aggregate emits (they break the downstream acero join); the label
-    # table is one row per distinct node — small relative to the corpus
+    # repartition folds away the degenerate-schema empty partitions Ray's
+    # hash aggregate emits (they break the downstream acero join); block
+    # count scales with edge count so no round funnels through one block
+    rep = int(max(1, min(num_partitions, edge_ds.count() // 800_000)))
     lab = (edge_ds.groupby("node").aggregate(Min("nbr", alias_name="comp"))
-           .repartition(1).materialize())
+           .repartition(rep).materialize())
     prev = None
     for _ in range(max_rounds):
         s = _exact_label_sum(lab, "comp")
@@ -82,7 +83,7 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
                             on=("nbr",), right_on=("node",),
                             left_suffix="_e", right_suffix="_l")
         lab = (prop.groupby("node").aggregate(Min("comp", alias_name="comp"))
-               .repartition(1).materialize())
+               .repartition(rep).materialize())
     return lab
 
 

@@ -83,8 +83,10 @@ def synth_pages(n_docs: int, seed: int = 42, n_sites: int = 20,
 def pages_from_documents(sf_dir: str, seed: int = 42,
                          n_sites: int = 20) -> ray.data.Dataset:
     """Pages corpus derived deterministically from the driver's ``documents``
-    table (TESTDATA.md) — ties entry()/bench to /root/testdata."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    table (TESTDATA.md) — ties entry()/bench to /root/testdata.  Only the
+    columns the adapter consumes leave storage (prune-at-the-read)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
     return ds.map_batches(
         lambda b: extract.pages_from_documents_batch(b, seed, n_sites),
         batch_format="pyarrow",
@@ -796,7 +798,13 @@ def merge_labels_distributed(links: ray.data.Dataset,
     from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Min as _Min
 
-    npart = join_partitions(cap=8)
+    npart = join_partitions()
+    # fold the per-round label table into `rep` blocks: 1 for small runs
+    # (degenerate empty-partition schemas break the join otherwise) and up to
+    # npart for big ones (a single 10^7-row block per round was the dominant
+    # serial cost of this path, measured at 1M docs)
+    n_links = links.count()  # links is materialized by the caller
+    rep = int(max(1, min(npart, n_links // 200_000)))
 
     def _thin(t: pa.Table, kind: int) -> pa.Table:
         # keep only int64 columns: the merge never needs traj_id, and empty
@@ -826,7 +834,7 @@ def merge_labels_distributed(links: ray.data.Dataset,
     # repartition folds them away (link-scale data — one block is fine here,
     # a larger count at true scale)
     lab = (edges.groupby("node").aggregate(_Min("nbr", alias_name="lab"))
-           .repartition(1).materialize())
+           .repartition(rep).materialize())
     def _exact_sum(ds):
         # labels are ~2^63: split into hi/lo 31-bit partial sums (exact in
         # int64 per batch) and reassemble as a Python int on the driver, so
@@ -851,7 +859,7 @@ def merge_labels_distributed(links: ray.data.Dataset,
                           on=("nbr",), right_on=("node",),
                           left_suffix="_e", right_suffix="_l")
         lab = (prop.groupby("node").aggregate(_Min("lab", alias_name="lab"))
-               .repartition(1).materialize())
+               .repartition(rep).materialize())
     core_lab = lab.map_batches(
         lambda t: pa.table({"seg_id": t["node"], "lab": t["lab"]}),
         batch_format="pyarrow")
