@@ -119,14 +119,15 @@ def _media_frame_features(sf_dir: str) -> pd.DataFrame:
     media = multimodal.pages_as_media(pages)
     frames = multimodal.sample_frames(media, n_frames=3)
     resized = multimodal.resize_media(frames, 16, 16)
-    # resized frames keep (media_id, payload) — featurize per frame
+    # frame_idx passes through resize + featurize → stable per-frame rows
     feats = multimodal.featurize_media(resized).to_pandas()
     out = pd.DataFrame({
         "media_id": feats["media_id"],
+        "frame_idx": feats["frame_idx"].astype("int64"),
         "n_bytes": feats["n_bytes"].astype("int64"),
         "feat_dim": [len(f) for f in feats["feature"]],
     })
-    return (out.sort_values(["media_id", "n_bytes"])
+    return (out.sort_values(["media_id", "frame_idx"])
             .reset_index(drop=True))
 
 

@@ -69,6 +69,12 @@ def manifest_ok(root: str, run_id: str, stage: str, config_hash: str,
     )
 
 
+def read_stage(root: str, run_id: str, stage: str) -> ray.data.Dataset:
+    """Dataset over a completed stage's parquet (caller checked manifest_ok)."""
+    return ray.data.read_parquet(_stage_dir(root, run_id, stage),
+                                 file_extensions=["parquet"])
+
+
 def checkpoint_stage(ds: ray.data.Dataset, root: str, run_id: str, stage: str,
                      config_hash: str, upstream: str = "") -> ray.data.Dataset:
     """Write ``ds`` as the stage checkpoint (atomic-ish: manifest written

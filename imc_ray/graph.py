@@ -73,9 +73,11 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
     lab = (edge_ds.groupby("node").aggregate(Min("nbr", alias_name="comp"))
            .repartition(rep).materialize())
     prev = None
-    for _ in range(max_rounds):
+    converged = False
+    for _ in range(max_rounds + 1):
         s = _exact_label_sum(lab, "comp")
         if prev is not None and s == prev:
+            converged = True
             break
         prev = s
         prop = edge_ds.join(lab, join_type="inner",
@@ -84,6 +86,12 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
                             left_suffix="_e", right_suffix="_l")
         lab = (prop.groupby("node").aggregate(Min("comp", alias_name="comp"))
                .repartition(rep).materialize())
+    if not converged:
+        # one hop per round ⇒ rounds needed ≈ component eccentricity; a
+        # silent return here would split long chain components (review r2)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "— raise max_rounds (component diameter exceeds it)")
     return lab
 
 

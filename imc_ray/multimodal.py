@@ -102,17 +102,19 @@ class MediaFeaturizer:
                 feats.append(fake_features(payload or b""))
             else:
                 feats.append(_decode_real(payload, "image"))
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "feature": pa.array([f.tolist() for f in feats],
-                                    type=pa.list_(pa.float32())),
-                "n_bytes": pa.array(
-                    [len(p or b"") for p in batch["payload"].to_pylist()],
-                    type=pa.int64(),
-                ),
-            }
-        )
+        cols = {
+            "media_id": batch["media_id"],
+            "feature": pa.array([f.tolist() for f in feats],
+                                type=pa.list_(pa.float32())),
+            "n_bytes": pa.array(
+                [len(p or b"") for p in batch["payload"].to_pylist()],
+                type=pa.int64(),
+            ),
+        }
+        # frame attribution survives the featurize stage when present
+        if "frame_idx" in batch.column_names:
+            cols["frame_idx"] = batch["frame_idx"]
+        return pa.table(cols)
 
 
 def featurize_media(ds: ray.data.Dataset, concurrency=(1, 4),
@@ -144,12 +146,20 @@ class MediaResizer:
                 out.append(fake_resize(payload or b"", self.width, self.height))
             else:
                 out.append(_resize_real(payload, self.width, self.height))
-        return pa.table({
-            "media_id": batch["media_id"],
-            "payload": pa.array(out, type=pa.binary()),
-            "width": pa.array([self.width] * batch.num_rows, type=pa.int32()),
-            "height": pa.array([self.height] * batch.num_rows, type=pa.int32()),
-        })
+        # pass through every non-replaced column (frame_idx etc. — round-2
+        # review: rebuilding the table dropped frame attribution in the
+        # sample_frames → resize chain)
+        t = batch
+        for name, arr in (
+            ("payload", pa.array(out, type=pa.binary())),
+            ("width", pa.array([self.width] * batch.num_rows, type=pa.int32())),
+            ("height", pa.array([self.height] * batch.num_rows, type=pa.int32())),
+        ):
+            if name in t.column_names:
+                t = t.set_column(t.column_names.index(name), name, arr)
+            else:
+                t = t.append_column(name, arr)
+        return t
 
 
 def resize_media(ds: ray.data.Dataset, width: int, height: int,

@@ -42,6 +42,20 @@ def _maybe_ckpt(ds, cfg: PipelineConfig, stage: str, upstream: str = "",
     return (ds.materialize() if pin else ds), ""
 
 
+def _maybe_ckpt_lazy(make, cfg: PipelineConfig, stage: str, upstream: str = "",
+                     pin: bool = False):
+    """Like :func:`_maybe_ckpt` but the stage's input lineage is built by the
+    ``make`` thunk ONLY when the checkpoint cannot be resumed — needed for
+    stages whose construction materializes eagerly (dedup's keyed pages, the
+    MDL segment build), which would otherwise re-execute the source on every
+    resume (round-2 review follow-up)."""
+    if cfg.ckpt_root and ckpt.manifest_ok(cfg.ckpt_root, cfg.run_id, stage,
+                                          cfg.config_hash(), upstream):
+        out = ckpt.read_stage(cfg.ckpt_root, cfg.run_id, stage)
+        return out, ckpt.manifest_token(cfg.ckpt_root, cfg.run_id, stage)
+    return _maybe_ckpt(make(), cfg, stage, upstream, pin)
+
+
 def _merge_and_assign(keyed: ray.data.Dataset, segments: ray.data.Dataset,
                       cfg: PipelineConfig):
     """C3+C4 routing (SURVEY §4.4): the SEGMENT count (a free metadata scalar
@@ -84,22 +98,27 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     (path / synth spec) into the checkpoint lineage chain so a rerun with the
     same ckpt_root but a different source never reuses stale checkpoints.
     """
-    # dedup consumes pages twice (min-key aggregate + join) — pin it so the
-    # upstream source/generator executes once
-    pages = pages.materialize() if not cfg.ckpt_root else pages
-    deduped = stages.dedup_pages(pages)
-    extracted = stages.extract_pages(deduped, cfg, verify_invariant)
+    # dedup materializes its keyed pages internally (single source
+    # execution) — built lazily so a resume with a valid 'extracted'
+    # checkpoint never re-executes the source
+    def make_extracted():
+        deduped = stages.dedup_pages(pages)
+        return stages.extract_pages(deduped, cfg, verify_invariant)
+
     # extracted feeds two branches (segments, points/tiles) — pin
-    extracted, tok_ex = _maybe_ckpt(extracted, cfg, "extracted",
-                                    upstream=source_token, pin=True)
+    extracted, tok_ex = _maybe_ckpt_lazy(make_extracted, cfg, "extracted",
+                                         upstream=source_token, pin=True)
 
     # materialize between the stateless MDL stage and the actor-pool cell
     # encoder: Ray would otherwise fuse the parse/MDL tasks INTO the actor
     # pool, serializing them behind the pool's ramp-up (measured 12x slower);
     # the segment set is tiny relative to pages so the pin is free
-    segments = stages.build_segments(extracted, cfg).materialize()
-    segments = stages.encode_cells(segments, cfg)
-    segments, tok_seg = _maybe_ckpt(segments, cfg, "segments", upstream=tok_ex)
+    def make_segments():
+        seg = stages.build_segments(extracted, cfg).materialize()
+        return stages.encode_cells(seg, cfg)
+
+    segments, tok_seg = _maybe_ckpt_lazy(make_segments, cfg, "segments",
+                                         upstream=tok_ex)
     # Keep the segment set pinned: it feeds telemetry, the keyed shuffle and
     # label assignment (small relative to pages — SURVEY §4.2).
     segments = segments.materialize()
@@ -176,8 +195,7 @@ def knn_query(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
               k: int = 3) -> ray.data.Dataset:
     """J4 standalone: segment-Hausdorff kNN join over the cell+halo keyed
     segments (candidates complete within the replication radius 2M)."""
-    # pin: dedup consumes pages twice and routes on a metadata row count
-    deduped = stages.dedup_pages(pages.materialize())
+    deduped = stages.dedup_pages(pages)
     extracted = stages.extract_pages(deduped, cfg)
     segments = stages.encode_cells(
         stages.build_segments(extracted, cfg).materialize(), cfg
@@ -209,11 +227,18 @@ def write_map(result: dict, out_dir: str) -> dict:
         p = os.path.join(out_dir, name)
         result[name].write_parquet(p)
         paths[name] = p
-    # small driver-side frames (one row per cluster / per segment label)
-    lbl = pa.Table.from_pandas(labels_frame(result["labels"]),
-                               preserve_index=False)
-    p = os.path.join(out_dir, "labels.parquet")
-    pq.write_table(lbl, p)
+    # labels: a Dataset on the distributed-merge path — stream it to a
+    # partitioned dir like the other big tables (round-2 review: funnelling
+    # it through a driver DataFrame reintroduced the materialization the
+    # distributed path exists to avoid); small DataFrame otherwise
+    if isinstance(result["labels"], pd.DataFrame):
+        lbl = pa.Table.from_pandas(labels_frame(result["labels"]),
+                                   preserve_index=False)
+        p = os.path.join(out_dir, "labels.parquet")
+        pq.write_table(lbl, p)
+    else:
+        p = os.path.join(out_dir, "labels")
+        result["labels"].write_parquet(p)
     paths["labels"] = p
     polys = result["polygons"]
     rings = [[{"x": float(pt["x"]), "y": float(pt["y"])} for pt in r]

@@ -100,7 +100,10 @@ def q3_top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
                         pc.subtract(pa.scalar(1.0), t["l_discount"]))
         part = pa.table({"l_orderkey": t["l_orderkey"], "revenue": r}) \
             .group_by("l_orderkey").aggregate([("revenue", "sum")])
-        return part.rename_columns(["l_orderkey", "revenue"])
+        # name-based select: pyarrow <14 orders aggregate columns before
+        # keys, so a positional rename would silently swap them (review r2)
+        return pa.table({"l_orderkey": part["l_orderkey"],
+                         "revenue": part["revenue_sum"]})
 
     li_rev = (
         li.map_batches(rev, batch_format="pyarrow")

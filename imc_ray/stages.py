@@ -131,17 +131,21 @@ def dedup_pages(ds: ray.data.Dataset,
     state — the web-scale path).  Identical outputs, asserted in tests.
     Rows byte-identical in (url, warc_ts, text) remain the corpus contract
     (only full-duplicate rows tie under the content-hash tie-break)."""
-    keyed = ds.map_batches(_dedup_key_batch, batch_format="pyarrow")
+    # one materialized pass computes the keys: both consumers (mins
+    # aggregate + survivor filter) read it from the object store, so the
+    # source executes ONCE and the per-row hashing runs once (round-2
+    # review: the unpinned lineage hashed every page twice and a ckpt-path
+    # ds.count() re-executed the source a third time)
+    keyed = ds.map_batches(_dedup_key_batch, batch_format="pyarrow").materialize()
     mins = (
         keyed.select_columns(["url", "dkey"])
         .groupby("url")
         .aggregate(Min("dkey", alias_name="min_dkey"))
     )
 
-    # route on the INPUT row count (free metadata when the caller pinned the
-    # pages — pipeline.run does): rows ≥ distinct urls, so this is
-    # conservative, and it avoids a materialize+count barrier on mins
-    if ds.count() <= broadcast_max_urls:
+    # route on the keyed row count (free metadata): rows ≥ distinct urls,
+    # so this is conservative
+    if keyed.count() <= broadcast_max_urls:
         min_map = mins.to_pandas().set_index("url")["min_dkey"]
         ref = ray.put(min_map)
 
@@ -850,9 +854,11 @@ def merge_labels_distributed(links: ray.data.Dataset,
         return (int(parts["hi"].sum()) << 31) + int(parts["lo"].sum())
 
     prev_sum = None
-    for _ in range(max_rounds):
+    converged = False
+    for _ in range(max_rounds + 1):
         s = _exact_sum(lab)
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
         prop = edges.join(lab, join_type="inner", num_partitions=npart,
@@ -860,6 +866,10 @@ def merge_labels_distributed(links: ray.data.Dataset,
                           left_suffix="_e", right_suffix="_l")
         lab = (prop.groupby("node").aggregate(_Min("lab", alias_name="lab"))
                .repartition(rep).materialize())
+    if not converged:
+        raise RuntimeError(
+            f"merge_labels_distributed did not converge in {max_rounds} "
+            "rounds — raise max_rounds (component diameter exceeds it)")
     core_lab = lab.map_batches(
         lambda t: pa.table({"seg_id": t["node"], "lab": t["lab"]}),
         batch_format="pyarrow")
@@ -1287,6 +1297,7 @@ def knn_join(keyed: ray.data.Dataset, k: int,
     With ``segments=None`` the bucket pass result is returned as-is
     (round-1 behavior; exact only in the dense regime)."""
     bound = 2.0 * cfg.halo - cfg.max_seg_len / 2.0
+    has_fallback = segments is not None
 
     def f(g: pd.DataFrame) -> pd.DataFrame:
         segs, seg_ids, is_home = _group_arrays(g)
@@ -1301,13 +1312,17 @@ def knn_join(keyed: ray.data.Dataset, k: int,
                 d = D[r_loc]
                 take = _top_k_ties(d, seg_ids, k)
                 resolved = len(take) == k and float(d[take[-1]]) <= bound
-                if not resolved:
+                if not resolved and has_fallback:
                     # marker row — the fallback pass recomputes this home
                     rows["seg_id"].append(int(seg_ids[h]))
                     rows["nbr_id"].append(-1)
                     rows["rank"].append(-1)
                     rows["dist"].append(np.inf)
                     continue
+                # resolved (globally exact) — or no fallback available, in
+                # which case emit the bucket-local best effort (the round-1
+                # segments=None contract; review r2: markers were silently
+                # dropping these homes from the output)
                 for rank, j in enumerate(take):
                     rows["seg_id"].append(int(seg_ids[h]))
                     rows["nbr_id"].append(int(seg_ids[j]))

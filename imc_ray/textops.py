@@ -52,26 +52,45 @@ def rolling_hash64(text: str) -> int:
 
 def rolling_hash64_batch(texts) -> np.ndarray:
     """Vectorized-across-documents FNV sweep: one numpy op per BYTE POSITION
-    over the whole batch instead of a Python op per byte per doc (round-1
-    review item 7: this was the repo's worst hot loop).  Bit-identical to the
-    sequential h = (h ^ b) * prime loop."""
+    over a bucket of similar-length docs instead of a Python op per byte per
+    doc (round-1 review item 7).  Bit-identical to the sequential
+    h = (h ^ b) * prime loop.
+
+    Length-bucketed (round-2 review): padding every doc to the batch max
+    would let one long outlier inflate the padded matrix to n × max_len —
+    web text is length-skewed — so docs are processed in length-sorted
+    buckets whose uint8 padded matrices stay under ~32 MB, keeping memory
+    ~O(total bytes) and wasted padding work bounded."""
     bs = [t.encode("utf-8") for t in texts]
     n = len(bs)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
-    m = int(lens.max()) if n else 0
-    # padded (n, m) byte matrix; position-major sweep with an active mask
-    mat = np.zeros((n, m), dtype=np.uint64)
-    for i, b in enumerate(bs):
-        if len(b):
-            mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-    h = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")
+    budget = 32 * 1024 * 1024  # padded uint8 cells per bucket
+    i = 0
     with np.errstate(over="ignore"):
-        for pos in range(m):
-            active = lens > pos
-            h[active] = (h[active] ^ mat[active, pos]) * _FNV_PRIME
-    return h
+        while i < n:
+            j = i + 1
+            # grow the bucket while (rows × current max_len) fits the budget
+            while j < n and (j - i + 1) * int(lens[order[j]]) <= budget:
+                j += 1
+            idx = order[i:j]
+            blens = lens[idx]
+            m = int(blens.max()) if len(idx) else 0
+            mat = np.zeros((len(idx), max(m, 1)), dtype=np.uint8)
+            for r, oi in enumerate(idx):
+                b = bs[oi]
+                if len(b):
+                    mat[r, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+            h = np.full(len(idx), _FNV_BASIS, dtype=np.uint64)
+            for pos in range(m):
+                active = blens > pos
+                h[active] = (h[active] ^ mat[active, pos]) * _FNV_PRIME
+            out[idx] = h
+            i = j
+    return out
 
 
 def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
@@ -456,13 +475,16 @@ def _verify_jaccard_small(ds, cand_df: pd.DataFrame,
     return out
 
 
-def _verify_jaccard_routed(ds, cand: ray.data.Dataset,
-                           threshold: float) -> ray.data.Dataset:
+def _verify_jaccard_routed(ds, cand: ray.data.Dataset, threshold: float,
+                           broadcast_max_pairs: int | None = None) -> ray.data.Dataset:
     """Route by candidate-pair count (a pair-bounded quantity, never corpus
     size): broadcast verify below _VERIFY_BROADCAST_MAX_PAIRS, two hash
-    joins above — identical outputs (same shingle math either way)."""
+    joins above — identical outputs (both routes asserted equal in
+    tests/test_ops.py via a forced threshold)."""
+    if broadcast_max_pairs is None:
+        broadcast_max_pairs = _VERIFY_BROADCAST_MAX_PAIRS
     n = cand.count()
-    if n <= _VERIFY_BROADCAST_MAX_PAIRS:
+    if n <= broadcast_max_pairs:
         return ray.data.from_pandas(
             _verify_jaccard_small(ds, cand.to_pandas(), threshold))
     return _verify_jaccard_ds(ds, cand, threshold)

@@ -82,6 +82,29 @@ class TestDedupFamily:
         assert [int(x) for x in textops.simhash64_batch(texts)] == \
             [simhash_seq(t) for t in texts]
 
+    def test_verify_jaccard_routes_identical(self, ray_session):
+        """The >threshold hash-join verify route must emit the same verified
+        pairs as the broadcast route (round-2 review: the join route was
+        otherwise never executed by any test corpus)."""
+        from imc_ray import graph, textops
+        from imc_ray.stages import read_table
+
+        ds = read_table(SF, "documents",
+                        columns=["doc_id", "text"]).materialize()
+        bands = ds.map_batches(textops.MinHasher, batch_format="pyarrow",
+                               batch_size=2048, concurrency=(1, 2), num_cpus=1)
+        raw = textops._lsh_candidates_ds(bands, star_only=False).materialize()
+        assert raw.count() > 0
+        cand = graph.dedupe_pairs(raw).materialize()
+        lo = 0.2
+        bcast = (textops._verify_jaccard_routed(ds, cand, lo)
+                 .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+        joined = (textops._verify_jaccard_routed(ds, cand, lo,
+                                                 broadcast_max_pairs=0)
+                  .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+        assert len(bcast) > 0
+        assert bcast.equals(joined)
+
     def test_quantile_sketch_accuracy(self, ray_session):
         """Histogram sketch quantiles within one bucket width of exact."""
         import pyarrow.parquet as pq
@@ -283,10 +306,19 @@ class TestMultimodal:
         assert set(fdf["frame_idx"]) == {0, 1, 2}
         resized = multimodal.resize_media(frames, 8, 4).to_pandas()
         assert all(len(p) == 32 for p in resized["payload"])
+        assert "frame_idx" in resized.columns  # attribution survives resize
         feats = multimodal.featurize_media(
             multimodal.resize_media(frames, 8, 4)).to_pandas()
         assert len(feats) == 60
         assert all(len(f) == multimodal.FEATURE_DIM for f in feats["feature"])
+        # frame attribution survives the whole chain: every media carries
+        # each frame index {0,1,2} equally often (synth corpus plants
+        # duplicate urls, so one media_id may aggregate several pages)
+        per_media = feats.groupby("media_id")["frame_idx"].apply(
+            lambda s: sorted(s.tolist()))
+        for v in per_media:
+            assert len(v) % 3 == 0
+            assert v == sorted([0, 1, 2] * (len(v) // 3))
 
     def test_fake_features_deterministic(self):
         from imc_ray.multimodal import fake_features
