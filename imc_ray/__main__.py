@@ -19,6 +19,26 @@ import time
 import warnings
 
 
+def _pages_digest(path: str) -> str:
+    """Cheap content token for a pages file/directory: sha256 over the sorted
+    (relative path, size, mtime_ns) listing — no data read."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    h = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+    return f"{path}@{h}"
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="imc_ray")
     src = ap.add_mutually_exclusive_group(required=True)
@@ -48,9 +68,12 @@ def main(argv=None) -> int:
     pages = (stages.synth_pages(args.synth, seed=42, n_sites=args.sites)
              if args.synth else stages.read_pages(args.pages))
     # source fingerprint enters the checkpoint lineage chain: a rerun with
-    # the same --ckpt but different input recomputes instead of reusing
+    # the same --ckpt but different input recomputes instead of reusing.
+    # For file inputs the token digests the file LISTING (path, size,
+    # mtime_ns) — editing the input in place invalidates the checkpoints
+    # rather than silently replaying them (round-2 advice)
     source_token = (f"synth:{args.synth}:42:{args.sites}" if args.synth
-                    else f"pages:{args.pages}")
+                    else f"pages:{_pages_digest(args.pages)}")
     t0 = time.time()
     res = pipeline.run(pages, cfg, source_token=source_token)
     paths = pipeline.write_map(res, args.out)

@@ -49,14 +49,16 @@ class PipelineConfig:
     # --- execution ---
     driver_merge_max_links: int = 20_000_000
     # runs with up to this many SEGMENTS use the driver-side vectorized label
-    # merge (the link set is linear in replicated segments at ~16 B/link, so
-    # 20M segments is a few-hundred-MB thin table — well within driver
-    # memory; a free metadata count routes without a links-materialize
-    # barrier); above it the pipeline routes through the fully-distributed
+    # merge; above it the pipeline routes through the fully-distributed
     # join+groupby-min propagation with NO driver materialization (the
     # 10^12-row path; equality asserted in tests; measured 1M-doc/2.9M-seg
     # runs: driver path ~5 s of merge, distributed path minutes — the
-    # crossover sits far above this sandbox)
+    # crossover sits far above this sandbox).  Sizing (round-2 advice made
+    # this honest): links ≈ a few × segments (replicated-core emissions +
+    # border pairs), and the driver frame is FOUR int64 columns (~32 B/link
+    # — dbscan_links hashes traj_id to int64 before to_pandas), so 20M
+    # segments ≈ 40-60M links ≈ 1.3-2 GB on the driver; a free metadata
+    # count routes without a links-materialize barrier
     batch_size: int = 8192
     actor_pool: tuple = (1, 32)  # (min, max) actors for stateful stages —
                                  # autoscales down on small sessions

@@ -172,24 +172,41 @@ def _assign_broadcast(ids: ray.data.Dataset, comps_df: pd.DataFrame,
     return ids.map_batches(f, batch_format="pyarrow")
 
 
-def components_frame(ids: ray.data.Dataset, edges: ray.data.Dataset,
-                     id_col: str, group_col: str,
-                     driver_max_edges: int = DRIVER_CC_MAX_EDGES) -> pd.DataFrame:
-    """Near-dup group assembly → sorted DataFrame (the queries() compare
-    surface).  Routed by EDGE count (never corpus size): the driver
-    propagation + broadcast-map assignment below ``driver_max_edges``, the
-    fully-distributed join rounds above — same outputs either way (asserted
-    in tests)."""
+def components_dataset(ids: ray.data.Dataset, edges: ray.data.Dataset,
+                       id_col: str, group_col: str,
+                       driver_max_edges: int = DRIVER_CC_MAX_EDGES) -> ray.data.Dataset:
+    """Near-dup group assembly → (id, group) DATASET, one row per input id —
+    the at-scale output path: nothing corpus-proportional ever touches the
+    driver (the component map is edge-bounded; assignment streams).  Routed
+    by EDGE count: driver propagation + broadcast-map assignment below
+    ``driver_max_edges``, fully-distributed join rounds above — same outputs
+    either way (asserted in tests)."""
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
-        return components_frame_empty(ids, id_col, group_col)
+        def own(t: pa.Table) -> pa.Table:
+            v = pc.cast(t[id_col], pa.int64())
+            return pa.table({id_col: v, group_col: v})
+
+        return ids.map_batches(own, batch_format="pyarrow")
     if n_edges <= driver_max_edges:
         comps_df = _driver_components(edges.to_pandas(), "a", "b")
-        out = _assign_broadcast(ids, comps_df, id_col, group_col).to_pandas()
-    else:
-        comps = connected_components(edges)
-        out = assign_groups(ids, comps, id_col, group_col).to_pandas()
+        return _assign_broadcast(ids, comps_df, id_col, group_col)
+    comps = connected_components(edges)
+    return assign_groups(ids, comps, id_col, group_col)
+
+
+def components_frame(ids: ray.data.Dataset, edges: ray.data.Dataset,
+                     id_col: str, group_col: str,
+                     driver_max_edges: int = DRIVER_CC_MAX_EDGES) -> pd.DataFrame:
+    """:func:`components_dataset` collected to a sorted DataFrame — the
+    queries() compare surface ONLY.  This pulls one row per corpus id to the
+    driver by design (the declared output contract of the dedup queries);
+    at-scale callers consume :func:`components_dataset` and write/stream it
+    instead (round-2 advice: the frame, not the algorithm, is the
+    driver-bound part)."""
+    out = components_dataset(ids, edges, id_col, group_col,
+                             driver_max_edges).to_pandas()
     if id_col not in out.columns:  # empty input loses its schema
         return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                              group_col: pd.Series(dtype="int64")})

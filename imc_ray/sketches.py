@@ -99,6 +99,10 @@ def quantile_sketch(ds: ray.data.Dataset, col: str,
              fully deterministic, unlike greedy compaction sketches."""
     from ray.data.aggregate import Count, Max, Min
 
+    # pin the single needed column once: both passes (min/max aggregate,
+    # histogram) read it from the object store instead of re-executing the
+    # upstream read/transform lineage twice (round-2 advice)
+    ds = ds.select_columns([col]).materialize()
     stats = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"),
                          Count(alias_name="n"))
     lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
@@ -112,8 +116,7 @@ def quantile_sketch(ds: ray.data.Dataset, col: str,
         hist = np.bincount(b, minlength=_QBUCKETS).astype(np.int64)
         return pa.table({"hist": pa.array([hist.tobytes()], type=pa.binary())})
 
-    parts = ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     hist = np.zeros(_QBUCKETS, dtype=np.int64)
     for blob in parts["hist"]:
         hist += np.frombuffer(blob, dtype=np.int64)

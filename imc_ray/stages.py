@@ -108,7 +108,14 @@ def _dedup_key_batch(batch: pa.Table) -> pa.Table:
     fp = pd.util.hash_pandas_object(
         batch["text"].to_pandas(), index=False,
         hash_key="imcray-pagededup").to_numpy()
-    key = [f"{t:020d}|{f:016x}" for t, f in zip(ts, fp)]
+    # bias the µs timestamp into unsigned range before zero-padding: a raw
+    # f"{t:020d}" of a negative (pre-1970) value sorts REVERSED lexically
+    # ('-…2' > '-…1'), so the string-Min aggregate would pick the wrong
+    # survivor (round-2 advice).  t + 2^63 is non-negative for all int64;
+    # uint64 wraparound implements the bias without float promotion.
+    with np.errstate(over="ignore"):
+        biased = ts.astype(np.uint64) + np.uint64(0x8000000000000000)
+    key = [f"{t:020d}|{f:016x}" for t, f in zip(biased, fp)]
     return batch.append_column("dkey", pa.array(key, type=pa.string()))
 
 
@@ -595,8 +602,23 @@ def dbscan_links(keyed2m: ray.data.Dataset,
                  cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Driver-DataFrame variant of :func:`dbscan_links_ds` (small-scale path /
     test surface).  The pipeline decides per run which side to use by link
-    count — see :func:`imc_ray.pipeline.run`."""
-    return dbscan_links_ds(keyed2m, cfg).to_pandas()
+    count — see :func:`imc_ray.pipeline.run`.
+
+    ``traj_id`` is hashed to int64 BEFORE the frame reaches the driver: the
+    merge consumes it only for distinct-trajectory cardinality, so the
+    driver frame is four int64 columns (~32 B/link) instead of carrying a
+    Python string per row (~10× heavier — round-2 advice on the
+    driver-merge route's true memory footprint)."""
+
+    def compact(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["traj_id"].to_pandas(), index=False,
+            hash_key="imcray-trajhash!").to_numpy().astype(np.int64)
+        i = t.column_names.index("traj_id")
+        return t.set_column(i, "traj_id", pa.array(h, type=pa.int64()))
+
+    return (dbscan_links_ds(keyed2m, cfg)
+            .map_batches(compact, batch_format="pyarrow").to_pandas())
 
 
 def dbscan_phase1(keyed: ray.data.Dataset,

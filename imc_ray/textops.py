@@ -538,7 +538,11 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
     (band, band_hash) groupby → candidate pairs → exact shingle-Jaccard verify
     (texts via hash join) → DISTRIBUTED connected components
     (:mod:`imc_ray.graph` min-label propagation) → (doc_id, dup_group = min
-    doc_id in group).  No driver union-find, no corpus-id materialization.
+    doc_id in group).  No driver union-find; driver state is edge-bounded
+    through the whole chain — the RETURNED frame (one row per doc, the
+    queries() compare contract) is the only corpus-proportional driver
+    object, and at-scale callers take :func:`imc_ray.graph.components_dataset`
+    instead and stream it to a sink.
 
     Docs with no near-dup get dup_group = their own id, so the output is one
     row per document (stable count for the rows-only check)."""
