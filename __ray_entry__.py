@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_roll64": lambda sf: T.fingerprint_documents(sf)[["doc_id", "roll64"]],
         "lang_id_documents": T.lang_id_documents,
         "minhash_dedup": T.minhash_dedup,
+        "near_dup_exact_groups": T.near_dup_exact_groups,
         "simhash_documents": T.simhash_documents,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         # similarity search
@@ -314,6 +315,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY op, lang
         """,
         "dedup_documents": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "near_dup_exact_groups": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id
         """,

@@ -392,17 +392,33 @@ class MinHasher:
         })
 
 
-def _lsh_candidates_ds(bands, star_only: bool) -> ray.data.Dataset:
+def _lsh_bucket_count(n_band_rows: int) -> int:
+    """Power-of-two coarse-bucket count for LSH candidate generation, scaled
+    so each coarse group holds ~2M band rows: a FIXED 512 modulus (round 1-2)
+    capped shuffle parallelism at 512 and let per-group row count grow
+    linearly with corpus size — tens of GB per group at 10^12 docs (round-2
+    review item 1).  512 floor keeps small corpora on the measured-optimal
+    coarse grouping (per-tiny-group map_groups was 10× slower)."""
+    want = max(512, n_band_rows // 2_000_000)
+    return 1 << int(np.ceil(np.log2(want)))
+
+
+def _lsh_candidates_ds(bands, star_only: bool,
+                       nbuckets: int = 512) -> ray.data.Dataset:
     """Candidate-pair Dataset from (band, band_hash) buckets.
 
-    One coarse groupby over ``pkey = band_hash % 512`` with vectorized pandas
-    bucket logic inside each group — NOT a map_groups per (band,hash) bucket,
-    which costs one Python call per tiny group (measured 10× slower).
-    ``star_only`` emits (min_doc, other) star pairs (enough for connected
-    components); otherwise all within-bucket pairs."""
+    One coarse groupby over ``pkey = band_hash & (nbuckets-1)`` with
+    vectorized pandas bucket logic inside each group — NOT a map_groups per
+    (band,hash) bucket, which costs one Python call per tiny group (measured
+    10× slower).  ``nbuckets`` (power of two) comes from
+    :func:`_lsh_bucket_count` so group fan-in stays bounded at any corpus
+    size.  ``star_only`` emits (min_doc, other) star pairs (enough for
+    connected components); otherwise all within-bucket pairs."""
+    assert nbuckets & (nbuckets - 1) == 0, "nbuckets must be a power of two"
 
     def add_pkey(t: pa.Table) -> pa.Table:
-        pk = pc.cast(pc.bit_wise_and(t["band_hash"], pa.scalar(511)), pa.int64())
+        pk = pc.cast(pc.bit_wise_and(t["band_hash"],
+                                     pa.scalar(nbuckets - 1)), pa.int64())
         return t.append_column("pkey", pk)
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -549,7 +565,9 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                            concurrency=(1, 4), num_cpus=1)
-    raw = _lsh_candidates_ds(bands, star_only=True).materialize()
+    # band-row count is exactly docs × bands (free metadata: ds is pinned)
+    nb = _lsh_bucket_count(ds.count() * _N_BANDS)
+    raw = _lsh_candidates_ds(bands, star_only=True, nbuckets=nb).materialize()
     ids = ds.select_columns(["doc_id"])
     if raw.count() == 0:
         return graph.components_frame_empty(ids, "doc_id", "dup_group")
@@ -558,6 +576,26 @@ def minhash_dedup(sf_dir: str, jaccard_threshold: float = 0.7) -> pd.DataFrame:
     if verified.count() == 0:
         return graph.components_frame_empty(ids, "doc_id", "dup_group")
     return graph.components_frame(ids, verified, "doc_id", "dup_group")
+
+
+def near_dup_exact_groups(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate groups via the FULL LSH chain at verify threshold 1.0:
+    shingle→minhash→band groupby→candidates→Jaccard verify→distributed CC,
+    then one group row per component — (doc_id = min member, n_copies).
+
+    Word-3-gram shingle-set Jaccard of 1.0 ⟺ identical text for natural-
+    language corpora (identical text always gives 1.0; distinct texts with
+    equal shingle SETS would require a pathological permutation), so this
+    reduces to ``SELECT min(doc_id), count(*) GROUP BY text`` — the DuckDB
+    hash oracle that puts the whole LSH→verify→CC machinery under a driver
+    value check (round-2 review gap 1).  Non-duplicated docs are their own
+    group with n_copies = 1."""
+    groups = minhash_dedup(sf_dir, jaccard_threshold=1.0)
+    out = (groups.groupby("dup_group").size().reset_index(name="n_copies")
+           .rename(columns={"dup_group": "doc_id"}))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -616,7 +654,8 @@ def ngram_jaccard_pairs(sf_dir: str, min_jaccard: float = 0.2) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                            concurrency=(1, 4), num_cpus=1)
-    raw = _lsh_candidates_ds(bands, star_only=False).materialize()
+    nb = _lsh_bucket_count(ds.count() * _N_BANDS)
+    raw = _lsh_candidates_ds(bands, star_only=False, nbuckets=nb).materialize()
     if raw.count() == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),

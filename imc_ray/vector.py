@@ -32,6 +32,26 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
     return np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
 
 
+def head_by_vec_id(ds, n: int) -> pd.DataFrame:
+    """Deterministic head: the first ``n`` rows by vec_id (unique ids),
+    WITHOUT a global sort — per-batch partial min-n + a tiny driver merge
+    (the relational partial_topk pattern).  Replaces
+    ``ds.sort("vec_id").limit(n)``, which range-shuffles the entire
+    embeddings table to take a constant-size head (round-2 review item 3);
+    here only ≤ n rows per batch leave the tasks and no AllToAll Sort
+    operator appears in the plan."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        k = min(n, len(vid))
+        order = np.argsort(vid, kind="stable")[:k]
+        return t.take(pa.array(order, type=pa.int64()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values("vec_id", kind="stable").head(n)
+            .reset_index(drop=True))
+
+
 def embedding_sums(sf_dir: str) -> pd.DataFrame:
     """Cosine of every vector against the all-ones direction — SQL-mirrorable
     (list_sum / (l2 * sqrt(dim))); the brute-force scoring kernel's oracle."""
@@ -82,7 +102,7 @@ def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame
     ``n_queries`` vectors by vec_id).  Self-match excluded.  Rows-only check;
     exact values verified in tests against a numpy reference."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = (ds.sort("vec_id").limit(n_queries).to_pandas())
+    qdf = head_by_vec_id(ds, n_queries)
     Q = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
     qids = qdf["vec_id"].to_numpy()
     q_ref = ray.put((qids, Q))
@@ -193,7 +213,7 @@ def ann_lsh(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     bucketed = ds.map_batches(LshBucketer, fn_constructor_args=(dim,),
                               batch_format="pyarrow", batch_size=4096,
                               concurrency=(1, 4), num_cpus=1)
-    qdf = ds.sort("vec_id").limit(n_queries).to_pandas()
+    qdf = head_by_vec_id(ds, n_queries)
     Q = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
     qids = qdf["vec_id"].to_numpy()
     qbuckets = _table_buckets(Q, _table_planes(dim))
@@ -296,7 +316,7 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
     shape holds — the broadcast is (nlist×dim + queries), constant."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     # deterministic training sample + queries: first rows by vec_id
-    head = ds.sort("vec_id").limit(max(_IVF_TRAIN, n_queries)).to_pandas()
+    head = head_by_vec_id(ds, max(_IVF_TRAIN, n_queries))
     sample = np.asarray(head["embedding"].tolist(), dtype=np.float32)
     C = _ivf_centroids(sample, nlist)
     qdf = head.iloc[:n_queries]
@@ -355,15 +375,129 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
         ["query_id", "rank"]).reset_index(drop=True)
 
 
-def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-dup groups: LSH buckets (own + Hamming-1 overlap
-    via multi-probe emission) → in-bucket pairwise cosine ≥ τ → DISTRIBUTED
-    connected components (:mod:`imc_ray.graph`) → (vec_id, dup_group = min
-    member).  One row per vector; no driver union-find / id materialization
-    (round-1 review item 8).  Multi-probe replicates each embedding ×13
-    through the shuffle — the documented trade for single-shuffle Hamming-≤2
-    candidate coverage; halving it would change the (approximate) candidate
-    set."""
+_COS_VERIFY_BROADCAST_MAX_PAIRS = 50_000
+# candidate-pair sets up to this verify via the broadcast path (embeddings
+# fetched are bounded by 2×pairs, never corpus size; Ray's two-join fixed
+# cost dominates small sets — same routing contract as the text-Jaccard
+# verify in textops).  Larger sets route through two hash joins.
+
+
+def _pair_cos(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Rowwise cosine of aligned (n, dim) float32 matrices; f32·f32 products
+    are exact in f64, accumulation in f64 — both verify routes share this
+    kernel so their outputs are bit-identical."""
+    a = A.astype(np.float64)
+    b = B.astype(np.float64)
+    dots = (a * b).sum(axis=1)
+    na = np.sqrt((a * a).sum(axis=1))
+    nb = np.sqrt((b * b).sum(axis=1))
+    return dots / (na * nb)
+
+
+_EMPTY_PAIRS = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+
+
+def _verify_cosine_small(ds, cand_df: pd.DataFrame, tau: float) -> pd.DataFrame:
+    """Pair-bounded broadcast verify: is_in-fetch the ≤2·|pairs| candidate
+    embeddings in one streaming pass, ray.put the matrix, verify pairs in
+    parallel with vectorized searchsorted lookups."""
+    need = pa.array(np.unique(np.concatenate(
+        [cand_df["a"].to_numpy(dtype=np.int64),
+         cand_df["b"].to_numpy(dtype=np.int64)])), type=pa.int64())
+    sub = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=need)),
+        batch_format="pyarrow").to_pandas()
+    ids = sub["vec_id"].to_numpy(dtype=np.int64)
+    M = np.asarray(sub["embedding"].tolist(), dtype=np.float32)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], M[order]))
+    pairs_ds = ray.data.from_pandas(cand_df.reset_index(drop=True))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ids_, M_ = ray.get(ref)
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        ia = np.searchsorted(ids_, a)
+        ib = np.searchsorted(ids_, b)
+        cos = _pair_cos(M_[ia], M_[ib])
+        keep = cos >= tau
+        return pd.DataFrame({"a": a[keep], "b": b[keep]}) if keep.any() \
+            else pd.DataFrame(_EMPTY_PAIRS)
+
+    out = pairs_ds.map_batches(verify, batch_format="pandas").to_pandas()
+    if "a" not in out.columns:
+        out = pd.DataFrame(_EMPTY_PAIRS)
+    return out
+
+
+def _verify_cosine_ds(ds, cand: ray.data.Dataset, tau: float) -> ray.data.Dataset:
+    """Fully-distributed cosine verify: embeddings reach the pair rows via
+    TWO native hash joins on vec_id (1× embedding payload per pair side
+    through each shuffle — never a ×13 multi-probe replication), then
+    vectorized rowwise cosine per batch.  Embeddings ride the join as raw
+    float32 BYTES: acero rejects list-typed non-key columns
+    ("Data type list<float> is not supported in join non-key field")."""
+    from .util import join_partitions
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "emb": pa.array([m[i].tobytes() for i in range(len(m))],
+                            type=pa.binary()),
+        })
+
+    embs = ds.map_batches(pack, batch_format="pyarrow")
+    npart = join_partitions()
+    j = cand.join(embs, join_type="inner", num_partitions=npart,
+                  on=("a",), right_on=("vec_id",),
+                  left_suffix="_l", right_suffix="_ea")
+    j = j.join(embs, join_type="inner", num_partitions=npart,
+               on=("b",), right_on=("vec_id",),
+               left_suffix="_a", right_suffix="_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(_EMPTY_PAIRS)
+        A = np.stack([np.frombuffer(x, dtype=np.float32)
+                      for x in df["emb_a"]])
+        B = np.stack([np.frombuffer(x, dtype=np.float32)
+                      for x in df["emb_b"]])
+        cos = _pair_cos(A, B)
+        keep = cos >= tau
+        return pd.DataFrame({"a": df["a"].to_numpy(dtype=np.int64)[keep],
+                             "b": df["b"].to_numpy(dtype=np.int64)[keep]}) \
+            if keep.any() else pd.DataFrame(_EMPTY_PAIRS)
+
+    return j.map_batches(verify, batch_format="pandas")
+
+
+def _verify_cosine_routed(ds, cand: ray.data.Dataset, tau: float,
+                          broadcast_max_pairs: int | None = None) -> ray.data.Dataset:
+    """Route by candidate-pair count (pair-bounded, never corpus-bounded) —
+    identical outputs either way (both routes share :func:`_pair_cos`;
+    asserted equal in tests via a forced threshold)."""
+    if broadcast_max_pairs is None:
+        broadcast_max_pairs = _COS_VERIFY_BROADCAST_MAX_PAIRS
+    if cand.count() <= broadcast_max_pairs:
+        return ray.data.from_pandas(
+            _verify_cosine_small(ds, cand.to_pandas(), tau))
+    return _verify_cosine_ds(ds, cand, tau)
+
+
+def embedding_near_dup(sf_dir: str, tau: float = 0.95,
+                       broadcast_max_pairs: int | None = None) -> pd.DataFrame:
+    """Embedding-cosine near-dup groups: THIN (vec_id, bucket) multi-probe
+    rows (own + Hamming-1 LSH buckets, 16 B each — the ×13 replication
+    carries ids only, never the embedding payload; round-2 review item 2) →
+    in-bucket candidate pairs → routed exact-cosine verify (embeddings reach
+    pairs by broadcast below the pair bound, by two hash joins above — ≤1×
+    embedding bytes through any shuffle) → DISTRIBUTED connected components
+    (:mod:`imc_ray.graph`) → (vec_id, dup_group = min member).
+
+    One row per vector (vectors with no near-dup group to themselves).  The
+    returned frame is the queries() compare surface; at-scale callers take
+    :func:`imc_ray.graph.components_dataset` and stream it instead."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
@@ -377,34 +511,22 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pd.DataFrame:
         base = np.zeros(len(m), dtype=np.int64)
         for b in range(_N_PLANES):
             base |= signs[:, b].astype(np.int64) << b
-        # multi-probe: emit each vector into its bucket and Hamming-1 buckets
-        rows_v, rows_b, rows_e = [], [], []
-        emb = t["embedding"].to_pylist()
-        for i in range(len(m)):
-            for b in [int(base[i])] + [int(base[i]) ^ (1 << j)
-                                       for j in range(_N_PLANES)]:
-                rows_v.append(int(vid[i]))
-                rows_b.append(b)
-                rows_e.append(emb[i])
+        # multi-probe: id-only rows into own + Hamming-1 buckets (13 thin
+        # rows per vector, vectorized — no per-row Python loop)
+        probes = np.concatenate([[0], 1 << np.arange(_N_PLANES, dtype=np.int64)])
+        buckets = (base[:, None] ^ probes[None, :]).reshape(-1)
         return pa.table({
-            "vec_id": pa.array(rows_v, type=pa.int64()),
-            "bucket": pa.array(rows_b, type=pa.int64()),
-            "embedding": pa.array(rows_e, type=pa.list_(pa.float32())),
+            "vec_id": pa.array(np.repeat(vid, len(probes)), type=pa.int64()),
+            "bucket": pa.array(buckets, type=pa.int64()),
         })
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        uniq, first_idx = np.unique(ids, return_index=True)
-        if len(uniq) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        m = np.asarray([g["embedding"].iloc[i] for i in first_idx], dtype=np.float32)
-        dots = (m @ m.T).astype(np.float64)
-        nm = np.sqrt((m * m).astype(np.float64).sum(axis=1))
-        cos = dots / (nm[:, None] * nm[None, :])
-        iu, ju = np.nonzero(np.triu(cos >= tau, k=1))
-        return pd.DataFrame({"a": uniq[iu].astype(np.int64),
-                             "b": uniq[ju].astype(np.int64)})
+        ids = np.unique(g["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu].astype(np.int64),
+                             "b": ids[ju].astype(np.int64)})
 
     raw = (ds.map_batches(emit, batch_format="pyarrow")
            .groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
@@ -413,6 +535,10 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pd.DataFrame:
     if raw.count() == 0:
         return graph.components_frame_empty(ids, "vec_id", "dup_group")
     # a pair can surface from several probe buckets — dedupe via groupby
-    # (keys only through the shuffle), then distributed min-label components
-    pairs = graph.dedupe_pairs(raw)
-    return graph.components_frame(ids, pairs, "vec_id", "dup_group")
+    # (keys only through the shuffle), then verify + min-label components
+    cand = graph.dedupe_pairs(raw).materialize()
+    verified = _verify_cosine_routed(ds, cand, tau,
+                                     broadcast_max_pairs).materialize()
+    if verified.count() == 0:
+        return graph.components_frame_empty(ids, "vec_id", "dup_group")
+    return graph.components_frame(ids, verified, "vec_id", "dup_group")

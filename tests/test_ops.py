@@ -31,6 +31,33 @@ class TestDedupFamily:
         sim02 = (sigs[0] == sigs[2]).mean()
         assert sim01 > 0.5 > sim02
 
+    def test_near_dup_exact_groups_planted(self, ray_session, tmp_path):
+        """The threshold-1.0 LSH chain must recover exactly the GROUP BY
+        text partition on a corpus with planted exact duplicates (the
+        driver's DuckDB oracle shape for near_dup_exact_groups)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from imc_ray import textops
+
+        texts = [f"some document body number {i} with shared words alpha "
+                 f"beta gamma delta epsilon" for i in range(20)]
+        # plant: 21/22 copy 0, 23 copies 5; 24 is a NEAR dup of 0 (must NOT
+        # group at threshold 1.0)
+        texts += [texts[0], texts[0], texts[5], texts[0] + " extra"]
+        ids = list(range(len(texts)))
+        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                 "text": pa.array(texts, type=pa.string())}),
+                       str(tmp_path / "documents.parquet"))
+        out = textops.near_dup_exact_groups(str(tmp_path))
+        got = dict(zip(out["doc_id"], out["n_copies"]))
+        want = {i: 1 for i in range(24)}
+        want[0] = 3          # 0, 20, 21
+        want[5] = 2          # 5, 22
+        del want[20], want[21], want[22]
+        want[23] = 1         # near dup stays its own group
+        assert got == want
+
     def test_simhash_similar_texts_close(self, ray_session):
         from imc_ray.textops import simhash64
 
@@ -104,6 +131,37 @@ class TestDedupFamily:
                   .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
         assert len(bcast) > 0
         assert bcast.equals(joined)
+
+    def test_lsh_bucket_count_scales_with_rows(self):
+        """The LSH coarse-bucket modulus must grow with the band-row count
+        (round-2 review item 1: a fixed 512 caps shuffle parallelism and
+        lets per-group fan-in grow linearly with corpus size)."""
+        from imc_ray.textops import _lsh_bucket_count
+
+        assert _lsh_bucket_count(1_000) == 512
+        assert _lsh_bucket_count(512 * 2_000_000) == 512
+        big = _lsh_bucket_count(16 * 10**9)
+        assert big >= 8192 and big & (big - 1) == 0  # power of two
+
+    def test_lsh_candidates_invariant_under_bucket_count(self, ray_session):
+        """Candidate-pair SET must not depend on the coarse-bucket modulus —
+        it only re-partitions the (band, hash) buckets."""
+        from imc_ray import graph, textops
+        from imc_ray.stages import read_table
+
+        ds = read_table(SF, "documents",
+                        columns=["doc_id", "text"]).materialize()
+        bands = (ds.map_batches(textops.MinHasher, batch_format="pyarrow",
+                                batch_size=2048, concurrency=(1, 2),
+                                num_cpus=1).materialize())
+        sets = []
+        for nb in (8, 512):
+            raw = textops._lsh_candidates_ds(bands, star_only=False,
+                                             nbuckets=nb).materialize()
+            assert raw.count() > 0
+            cand = graph.dedupe_pairs(raw).to_pandas()
+            sets.append(set(zip(cand["a"], cand["b"])))
+        assert sets[0] == sets[1]
 
     def test_quantile_sketch_accuracy(self, ray_session):
         """Histogram sketch quantiles within one bucket width of exact."""
@@ -256,6 +314,30 @@ class TestSimilaritySearch:
         out = vector.embedding_near_dup(SF)
         assert len(out) == 500
         assert (out["dup_group"] <= out["vec_id"]).all()
+
+    def test_embedding_near_dup_routes_identical(self, ray_session):
+        """Broadcast and hash-join cosine-verify routes must produce the
+        same dup groups (round-3: the join route is otherwise never executed
+        by any test corpus; both share the _pair_cos kernel)."""
+        from imc_ray import vector
+
+        a = vector.embedding_near_dup(SF)
+        b = vector.embedding_near_dup(SF, broadcast_max_pairs=0)
+        assert a.equals(b)
+
+    def test_head_by_vec_id_matches_global_sort(self, ray_session):
+        """The partial min-k head must equal the global sort+limit it
+        replaced (round-2 review item 3: no AllToAll Sort for a
+        constant-size deterministic head)."""
+        from imc_ray import vector
+        from imc_ray.stages import read_table
+
+        ds = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+        got = vector.head_by_vec_id(ds, 7)
+        want = ds.sort("vec_id").limit(7).to_pandas()
+        assert list(got["vec_id"]) == list(want["vec_id"])
+        for g, w in zip(got["embedding"], want["embedding"]):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
 
 
 class TestSketches:
