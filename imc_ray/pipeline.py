@@ -137,15 +137,26 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     # groupby shuffle would re-execute for the polygon branch
     reps_ds = stages.build_representatives(labeled, cfg).materialize()
     polys_ds = stages.build_polygons(reps_ds, cfg)
-    # polygon set is one row per cluster — small; pull to the driver for the
-    # broadcast side of the raster↔vector join
-    reps = reps_ds.to_pandas()
-    polys = polys_ds.to_pandas()
 
     tiles = stages.build_tiles_from_pages(extracted, cfg)
     tiles, tok_tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream=tok_ex)
 
-    tile_cluster = stages.spatial_join(tiles, polys, cfg)
+    # J3 routed by cluster count (free metadata — reps is pinned): broadcast
+    # TileJoiner while the polygon set is small, cell-keyed co-partition
+    # when cluster count has grown corpus-proportional.  On the co-partition
+    # route the polygon set never rides a driver DataFrame into the join;
+    # ``polygons``/``representatives`` in the result dict remain driver
+    # frames as the declared compare surface (like graph.components_frame —
+    # at-scale consumers would stream ``polys_ds`` / ``reps_ds`` to a
+    # parquet sink instead of collecting them).
+    if reps_ds.count() > stages._SPATIAL_BROADCAST_MAX_POLYS:
+        polys_pin = polys_ds.materialize()
+        tile_cluster = stages.spatial_join_copartition(tiles, polys_pin, cfg)
+        polys = polys_pin.to_pandas()
+    else:
+        polys = polys_ds.to_pandas()
+        tile_cluster = stages.spatial_join(tiles, polys, cfg)
+    reps = reps_ds.to_pandas()
     tile_cluster, _ = _maybe_ckpt(tile_cluster, cfg, "tile_cluster",
                                   upstream=tok_tiles)
 

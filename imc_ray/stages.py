@@ -658,9 +658,10 @@ def dbscan_phase2(keyed: ray.data.Dataset, core_flags_df: pd.DataFrame,
     cores, not quadratic in edges.
 
     Core flags reach the buckets either by driver broadcast (this function —
-    fine up to driver memory) or by the hash-join variant
-    :func:`dbscan_phase2_joined` (the 10^12 path — round-1 review item 4:
-    the broadcast fallback is now an implemented, tested feature)."""
+    SMALL-SCALE ONLY: the ray.put is one row per segment, so callers select
+    it through :func:`dbscan_two_phase`, which routes to the hash-join
+    variant :func:`dbscan_phase2_joined` above _COREFLAG_BROADCAST_MAX
+    segments — the 10^12 path)."""
     eps, min_lns = cfg.eps, cfg.min_lns
     w = (cfg.w_perp, cfg.w_par, cfg.w_ang)
     # broadcast core flags as a sorted id array + flag array: workers look
@@ -755,6 +756,30 @@ def _phase2_emit(segs, seg_ids, is_home, traj, is_core, eps, w) -> pd.DataFrame:
         {"seg_id": out_seg, "traj_id": out_traj,
          "kind": out_kind, "ref": out_ref}
     )
+
+
+_COREFLAG_BROADCAST_MAX = 50_000_000
+# phase-1 emits ONE (seg_id int64, is_core bool) row per segment (~9 B);
+# up to this bound the flags broadcast via ray.put (≤ ~450 MB object) and
+# phase 2 runs dbscan_phase2; above it the flags stay a Dataset and attach
+# by hash join (dbscan_phase2_joined).  dbscan_two_phase routes on the
+# actual flag count so no selectable path reaches an unbounded per-segment
+# broadcast (round-3 review item 6).
+
+
+def dbscan_two_phase(keyed: ray.data.Dataset,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     broadcast_max_flags: int = _COREFLAG_BROADCAST_MAX) -> pd.DataFrame:
+    """Routed two-phase DBSCAN (the shuffle-byte-lean alternative to the
+    default single-pass :func:`dbscan_links_ds` — 1M replication instead of
+    2M, at the cost of a second groupby barrier).  Phase-1 core flags reach
+    the phase-2 buckets by driver broadcast below ``broadcast_max_flags``
+    segments, by a native hash join above — identical link rows either way
+    (asserted in tests).  Returns the link DataFrame (feeds merge_labels)."""
+    flags_ds = dbscan_phase1_ds(keyed, cfg).materialize()
+    if flags_ds.count() <= broadcast_max_flags:
+        return dbscan_phase2(keyed, flags_ds.to_pandas(), cfg)
+    return dbscan_phase2_joined(keyed, flags_ds, cfg).to_pandas()
 
 
 def dbscan_phase1_ds(keyed: ray.data.Dataset,
@@ -1139,17 +1164,65 @@ def build_tiles(points: ray.data.Dataset,
 # J3 spatial join — STRtree actor pool over broadcast polygons (S2+S3)
 # ---------------------------------------------------------------------------
 
+def _join_tiles_vs_polys(tid: np.ndarray, tile_size: float, cids: np.ndarray,
+                         rings: list, boxes: np.ndarray, tree):
+    """Vectorized tile × polygon containment kernel shared by BOTH J3 routes
+    (broadcast actor pool and cell-co-partitioned map_groups — identical
+    output rows by construction).  ONE tree descent with the tile set's
+    bounding box prefilters the polygon set, then each candidate polygon is
+    tested against all its bbox-overlapping tiles with a single
+    ``points_in_ring`` call over the stacked 5-point tile samples (4 corners
+    + center) — no per-tile Python loop.  Returns (tile_id, cluster_id,
+    frac) arrays."""
+    out_t, out_c, out_f = [], [], []
+    if tree is not None and len(tid):
+        s = tile_size
+        _, _, x0, y0 = geom.cell_decode(tid, s)
+        x1, y1 = x0 + s, y0 + s
+        cand = tree.query(float(x0.min()), float(y0.min()),
+                          float(x1.max()), float(y1.max()))
+        for c in cand:
+            bx0, by0, bx1, by1 = boxes[c]
+            # closed-interval bbox overlap — same semantics as tree.query
+            m = (x0 <= bx1) & (x1 >= bx0) & (y0 <= by1) & (y1 >= by0)
+            idx = np.nonzero(m)[0]
+            if len(idx) == 0:
+                continue
+            tx0, ty0 = x0[idx], y0[idx]
+            sx = np.concatenate([tx0, tx0 + s, tx0 + s, tx0, tx0 + s / 2])
+            sy = np.concatenate([ty0, ty0, ty0 + s, ty0 + s, ty0 + s / 2])
+            inside = geom.points_in_ring(sx, sy, rings[c])
+            frac = inside.reshape(5, len(idx)).sum(axis=0) / 5.0
+            keep = frac > 0
+            if keep.any():
+                out_t.append(tid[idx[keep]])
+                out_c.append(np.full(int(keep.sum()), cids[c],
+                                     dtype=np.int64))
+                out_f.append(frac[keep])
+    if out_t:
+        return (np.concatenate(out_t), np.concatenate(out_c),
+                np.concatenate(out_f))
+    return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64))
+
+
+def _tile_cluster_table(t, c, f) -> pa.Table:
+    return pa.table(
+        {
+            "tile_id": pa.array(t, type=pa.int64()),
+            "cluster_id": pa.array(c, type=pa.int64()),
+            "frac": pa.array(f, type=pa.float64()),
+        }
+    )
+
+
 class TileJoiner:
     """Stateful actor: builds an STRtree over the (broadcast) corridor-polygon
     set once in ``__init__``, then batch point-in-polygon joins tiles against
-    it (SURVEY §2.3 S2/S3, §2.5 J3).  The polygon side is small (one row per
-    cluster) — broadcast via ray.put, never re-shipped per batch.
-
-    Fully vectorized per batch: ONE tree query (batch bbox) prefilters the
-    polygon set, then each candidate polygon is tested against all its
-    bbox-overlapping tiles with a single ``points_in_ring`` call over the
-    stacked 5-point tile samples — no per-tile Python loop (round-1 review
-    measured the per-tile path at ~490 rows/s; this is the ≥5× fix)."""
+    it (SURVEY §2.3 S2/S3, §2.5 J3).  This is the SMALL-polygon-side route:
+    one row per cluster, broadcast via ray.put, never re-shipped per batch.
+    Above ``cfg/broadcast_max_polys`` the join routes to the cell-keyed
+    co-partition (:func:`spatial_join_copartition`) instead."""
 
     def __init__(self, polys_ref, tile_size: float):
         polys = ray.get(polys_ref)  # list of (cluster_id, ring ndarray)
@@ -1167,50 +1240,11 @@ class TileJoiner:
             self.tree = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_t, out_c, out_f = [], [], []
-        if self.tree is not None and batch.num_rows:
-            tid = batch["tile_id"].to_numpy()
-            s = self.tile_size
-            _, _, x0, y0 = geom.cell_decode(tid, s)
-            x1, y1 = x0 + s, y0 + s
-            # one tree descent for the whole batch's bounding box
-            cand = self.tree.query(float(x0.min()), float(y0.min()),
-                                   float(x1.max()), float(y1.max()))
-            for c in cand:
-                bx0, by0, bx1, by1 = self.boxes[c]
-                # closed-interval bbox overlap — same semantics as tree.query
-                m = (x0 <= bx1) & (x1 >= bx0) & (y0 <= by1) & (y1 >= by0)
-                idx = np.nonzero(m)[0]
-                if len(idx) == 0:
-                    continue
-                tx0, ty0 = x0[idx], y0[idx]
-                # 5 sample points per tile: 4 corners + center, stacked so one
-                # ring test covers every candidate tile of this polygon
-                sx = np.concatenate([tx0, tx0 + s, tx0 + s, tx0, tx0 + s / 2])
-                sy = np.concatenate([ty0, ty0, ty0 + s, ty0 + s, ty0 + s / 2])
-                inside = geom.points_in_ring(sx, sy, self.rings[c])
-                frac = inside.reshape(5, len(idx)).sum(axis=0) / 5.0
-                keep = frac > 0
-                if keep.any():
-                    out_t.append(tid[idx[keep]])
-                    out_c.append(np.full(int(keep.sum()), self.cids[c],
-                                         dtype=np.int64))
-                    out_f.append(frac[keep])
-        if out_t:
-            t = np.concatenate(out_t)
-            c_ = np.concatenate(out_c)
-            f = np.concatenate(out_f)
-        else:
-            t = np.empty(0, dtype=np.int64)
-            c_ = np.empty(0, dtype=np.int64)
-            f = np.empty(0, dtype=np.float64)
-        return pa.table(
-            {
-                "tile_id": pa.array(t, type=pa.int64()),
-                "cluster_id": pa.array(c_, type=pa.int64()),
-                "frac": pa.array(f, type=pa.float64()),
-            }
-        )
+        t, c, f = _join_tiles_vs_polys(
+            batch["tile_id"].to_numpy() if batch.num_rows
+            else np.empty(0, dtype=np.int64),
+            self.tile_size, self.cids, self.rings, self.boxes, self.tree)
+        return _tile_cluster_table(t, c, f)
 
 
 def build_tiles_from_pages(extracted: ray.data.Dataset,
@@ -1255,8 +1289,124 @@ def build_tiles_from_pages(extracted: ray.data.Dataset,
     return agg.map_batches(decode, batch_format="pyarrow")
 
 
+_SPATIAL_BROADCAST_MAX_POLYS = 200_000
+# polygon sets up to this size (one row per cluster; a ~16-point f64 ring is
+# ~300 B → ≤60 MB broadcast) join via the broadcast TileJoiner actor pool —
+# the measured-fast route while polygons fit every actor's heap.  Above it
+# the cluster count has become corpus-proportional and the join routes to
+# the SURVEY §2.5 J3 cell-keyed co-partition, which never materializes the
+# polygon set anywhere (round-2 review item 1: the last §2 component whose
+# only route broke when its small side grew with the corpus).
+
+
+def _ring_to_bytes(ring: np.ndarray) -> bytes:
+    return np.ascontiguousarray(ring, dtype=np.float64).tobytes()
+
+
+def spatial_join_copartition(tiles: ray.data.Dataset,
+                             polys_ds: ray.data.Dataset,
+                             cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """J3 scale route: both sides keyed by coarse cell → ONE groupby shuffle
+    → per-cell STRtree join (SURVEY §2.5 J3's declared partitioning).
+
+    Tiles key by the cell of their lower-left corner; polygons replicate to
+    every cell overlapped by their bbox EXPANDED by tile_size (a tile that
+    bbox-overlaps a polygon has its lower-left corner within tile_size of
+    the polygon bbox, so every candidate pair meets in exactly the tile's
+    one cell — no output dedupe needed; equality with the broadcast route
+    is asserted in tests).  Rings ride the shuffle as f64 bytes (acero/
+    groupby-safe), so shuffle volume is tiles + polygons × (cells per
+    polygon bbox) — corridor polygons span O(1) coarse cells."""
+    cell_size = cfg.coarse_cell
+    tile_size = cfg.tile_size
+
+    def key_tiles(t: pa.Table) -> pa.Table:
+        tid = t["tile_id"].to_numpy()
+        _, _, x0, y0 = geom.cell_decode(tid, tile_size)
+        pcell = geom.cell_id(x0, y0, cell_size)
+        return pa.table({
+            "pcell": pa.array(pcell, type=pa.int64()),
+            "kind": pa.array(np.zeros(len(tid), dtype=np.int64)),
+            "tile_id": pa.array(tid, type=pa.int64()),
+            "cluster_id": pa.array(np.full(len(tid), -1, dtype=np.int64)),
+            "ring": pa.array([b""] * len(tid), type=pa.binary()),
+        })
+
+    def key_polys(t: pa.Table) -> pa.Table:
+        pcells, cids, rings = [], [], []
+        for cid, ring in zip(t["cluster_id"].to_pylist(),
+                             t["ring"].to_pylist()):
+            r = np.asarray([[p["x"], p["y"]] for p in ring], dtype=np.float64)
+            if len(r) == 0:
+                continue
+            blob = _ring_to_bytes(r)
+            i0, j0 = geom.cell_ij(r[:, 0].min() - tile_size,
+                                  r[:, 1].min() - tile_size, cell_size)
+            i1, j1 = geom.cell_ij(r[:, 0].max() + tile_size,
+                                  r[:, 1].max() + tile_size, cell_size)
+            for i in range(int(i0), int(i1) + 1):
+                for j in range(int(j0), int(j1) + 1):
+                    pcells.append(int(geom.cell_from_ij(
+                        np.asarray([i]), np.asarray([j]))[0]))
+                    cids.append(int(cid))
+                    rings.append(blob)
+        n = len(pcells)
+        return pa.table({
+            "pcell": pa.array(pcells, type=pa.int64()),
+            "kind": pa.array(np.ones(n, dtype=np.int64)),
+            "tile_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "cluster_id": pa.array(cids, type=pa.int64()),
+            "ring": pa.array(rings, type=pa.binary()),
+        })
+
+    keyed = (tiles.map_batches(key_tiles, batch_format="pyarrow")
+             .union(polys_ds.map_batches(key_polys, batch_format="pyarrow")))
+
+    def join_fn(g: pd.DataFrame) -> pd.DataFrame:
+        is_poly = g["kind"].to_numpy() == 1
+        tid = g["tile_id"].to_numpy()[~is_poly].astype(np.int64)
+        empty = pd.DataFrame({"tile_id": pd.Series(dtype="int64"),
+                              "cluster_id": pd.Series(dtype="int64"),
+                              "frac": pd.Series(dtype="float64")})
+        if not is_poly.any() or len(tid) == 0:
+            return empty
+        rings = [np.frombuffer(b, dtype=np.float64).reshape(-1, 2)
+                 for b in g["ring"][is_poly]]
+        cids = g["cluster_id"].to_numpy()[is_poly].astype(np.int64)
+        boxes = np.asarray(
+            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+             for r in rings])
+        tree = geom.STRtree(boxes)
+        t, c, f = _join_tiles_vs_polys(tid, tile_size, cids, rings,
+                                       boxes, tree)
+        if len(t) == 0:
+            return empty
+        return pd.DataFrame({"tile_id": t, "cluster_id": c, "frac": f})
+
+    return keyed.groupby("pcell").map_groups(join_fn, batch_format="pandas")
+
+
 def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,
-                 cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+                 cfg: PipelineConfig = DEFAULT_CONFIG,
+                 broadcast_max_polys: int | None = None) -> ray.data.Dataset:
+    """J3 routed by polygon count: broadcast TileJoiner actor pool below
+    ``broadcast_max_polys`` (fast while the one-row-per-cluster side fits
+    every actor), cell-keyed co-partition above (the corpus-proportional-
+    cluster-count route).  Identical outputs — asserted in tests."""
+    if broadcast_max_polys is None:
+        broadcast_max_polys = _SPATIAL_BROADCAST_MAX_POLYS
+    if len(polygons_df) > broadcast_max_polys:
+        from .schemas import POLYGONS
+
+        rings = [[{"x": float(p["x"]), "y": float(p["y"])} for p in r]
+                 for r in polygons_df["ring"]]
+        ptab = pa.table({
+            "cluster_id": pa.array(
+                polygons_df["cluster_id"].astype("int64"), type=pa.int64()),
+            "ring": pa.array(rings, type=POLYGONS.field("ring").type),
+        })
+        return spatial_join_copartition(
+            tiles, ray.data.from_arrow(ptab), cfg)
     polys = []
     for _, r in polygons_df.iterrows():
         ring = np.asarray([[p["x"], p["y"]] for p in r["ring"]], dtype=np.float64)

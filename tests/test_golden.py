@@ -132,6 +132,14 @@ def test_two_phase_equals_single_pass(ray_session, gold):
     assert list(lab_j["seg_id"]) == list(lab2p["seg_id"])
     assert list(lab_j["cluster_id"]) == list(lab2p["cluster_id"])
 
+    # the routed wrapper must pick each route correctly (forced by
+    # threshold) and match on both
+    for bmax in (0, 10**9):
+        links_r = stages.dbscan_two_phase(keyed1, cfg,
+                                          broadcast_max_flags=bmax)
+        lab_r = stages.merge_labels(links_r, cfg).sort_values("seg_id")
+        assert list(lab_r["cluster_id"]) == list(lab2p["cluster_id"]), bmax
+
 
 def test_distributed_merge_equals_driver_merge(ray_session, gold):
     """merge_labels_distributed (no driver materialization) must equal the
