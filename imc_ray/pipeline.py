@@ -99,26 +99,34 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     same ckpt_root but a different source never reuses stale checkpoints.
     """
     # dedup materializes its keyed pages internally (single source
-    # execution) — built lazily so a resume with a valid 'extracted'
-    # checkpoint never re-executes the source
+    # execution) — built lazily so a resume with a valid 'parsed'
+    # checkpoint never re-executes the source.  extracted now has ONE
+    # consumer (the fused parse), so it streams unpinned — no full-corpus
+    # text copy in the object store.
     def make_extracted():
         deduped = stages.dedup_pages(pages)
         return stages.extract_pages(deduped, cfg, verify_invariant)
 
-    # extracted feeds two branches (segments, points/tiles) — pin
     extracted, tok_ex = _maybe_ckpt_lazy(make_extracted, cfg, "extracted",
-                                         upstream=source_token, pin=True)
+                                         upstream=source_token, pin=False)
 
-    # materialize between the stateless MDL stage and the actor-pool cell
-    # encoder: Ray would otherwise fuse the parse/MDL tasks INTO the actor
-    # pool, serializing them behind the pool's ramp-up (measured 12x slower);
-    # the segment set is tiny relative to pages so the pin is free
+    # ONE parse pass feeds both branches (segments + tiles — round-3 review
+    # item 7: the two-branch design parsed every page twice); the combined
+    # table is segment+tile-partial rows — tiny relative to pages — and the
+    # pin doubles as the mid-pipeline resume point.  The materialize also
+    # keeps Ray from fusing the parse tasks INTO the downstream actor pool
+    # (measured 12x slower when fused behind the pool ramp-up).
+    def make_parsed():
+        return stages.build_parsed(extracted, cfg)
+
+    parsed, tok_par = _maybe_ckpt_lazy(make_parsed, cfg, "parsed",
+                                       upstream=tok_ex, pin=True)
+
     def make_segments():
-        seg = stages.build_segments(extracted, cfg).materialize()
-        return stages.encode_cells(seg, cfg)
+        return stages.encode_cells(stages.split_segments(parsed), cfg)
 
     segments, tok_seg = _maybe_ckpt_lazy(make_segments, cfg, "segments",
-                                         upstream=tok_ex)
+                                         upstream=tok_par)
     # Keep the segment set pinned: it feeds telemetry, the keyed shuffle and
     # label assignment (small relative to pages — SURVEY §4.2).
     segments = segments.materialize()
@@ -138,8 +146,8 @@ def run(pages: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     reps_ds = stages.build_representatives(labeled, cfg).materialize()
     polys_ds = stages.build_polygons(reps_ds, cfg)
 
-    tiles = stages.build_tiles_from_pages(extracted, cfg)
-    tiles, tok_tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream=tok_ex)
+    tiles = stages.tiles_from_parsed(parsed, cfg)
+    tiles, tok_tiles = _maybe_ckpt(tiles, cfg, "tiles", upstream=tok_par)
 
     # J3 routed by cluster count (free metadata — reps is pinned): broadcast
     # TileJoiner while the polygon set is small, cell-keyed co-partition

@@ -364,6 +364,118 @@ def build_segments(extracted: ray.data.Dataset,
 
 
 # ---------------------------------------------------------------------------
+# Fused single-parse stage: segments + tile partial counts from ONE pass
+# ---------------------------------------------------------------------------
+
+_COMBINED_SEG_COLS = ("seg_id", "traj_id", "x1", "y1", "x2", "y2",
+                      "seg_len", "angle")
+
+
+def _parsed_combined_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Parse each page ONCE and emit a tagged combined table: segment rows
+    (kind=0, the exact `_segments_from_text_batch` output) plus per-batch
+    tile partial-count rows (kind=1, over the RAW parsed points — same
+    semantics as build_tiles_from_pages).  The flagship previously parsed
+    every page twice, once per branch (round-3 review item 7); splitting
+    this one materialized table halves the regex-bound parse work."""
+    tile_size = cfg.tile_size
+    out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
+    tids = []
+    for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+        for traj_id, lat, lon, _ts in extract.parse_tracks(url, text, with_ts=False):
+            x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
+            tids.append(geom.cell_id(x, y, tile_size))
+            _traj_segments(traj_id, np.column_stack([x, y]), cfg, out)
+    if out["seg_id"]:
+        cols = {k: np.concatenate(v) for k, v in out.items()}
+        seg_len = np.hypot(cols["x2"] - cols["x1"], cols["y2"] - cols["y1"])
+        angle = np.arctan2(cols["y2"] - cols["y1"], cols["x2"] - cols["x1"])
+        ns = len(cols["seg_id"])
+    else:
+        cols = {k: np.empty(0, dtype=np.float64) for k in out}
+        cols["seg_id"] = np.empty(0, dtype=np.int64)
+        cols["traj_id"] = np.empty(0, dtype=object)
+        seg_len = angle = np.empty(0, dtype=np.float64)
+        ns = 0
+    if tids:
+        uniq, counts = np.unique(np.concatenate(tids), return_counts=True)
+    else:
+        uniq = counts = np.empty(0, dtype=np.int64)
+    nt = len(uniq)
+    return pa.table({
+        "kind": pa.array(np.concatenate([np.zeros(ns, dtype=np.int64),
+                                         np.ones(nt, dtype=np.int64)])),
+        "seg_id": pa.array(np.concatenate(
+            [cols["seg_id"], np.full(nt, -1, dtype=np.int64)]), type=pa.int64()),
+        "traj_id": pa.array(cols["traj_id"].tolist() + [""] * nt,
+                            type=pa.string()),
+        "x1": pa.array(np.concatenate([cols["x1"], np.zeros(nt)]),
+                       type=pa.float64()),
+        "y1": pa.array(np.concatenate([cols["y1"], np.zeros(nt)]),
+                       type=pa.float64()),
+        "x2": pa.array(np.concatenate([cols["x2"], np.zeros(nt)]),
+                       type=pa.float64()),
+        "y2": pa.array(np.concatenate([cols["y2"], np.zeros(nt)]),
+                       type=pa.float64()),
+        "seg_len": pa.array(np.concatenate([seg_len, np.zeros(nt)]),
+                            type=pa.float64()),
+        "angle": pa.array(np.concatenate([angle, np.zeros(nt)]),
+                          type=pa.float64()),
+        "tile_id": pa.array(np.concatenate(
+            [np.full(ns, -1, dtype=np.int64), uniq]), type=pa.int64()),
+        "n": pa.array(np.concatenate(
+            [np.zeros(ns, dtype=np.int64), counts]), type=pa.int64()),
+    })
+
+
+def build_parsed(extracted: ray.data.Dataset,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Single-parse combined stage — split with :func:`split_segments` /
+    :func:`tiles_from_parsed` (both read the same materialized table)."""
+    return extracted.map_batches(
+        lambda b: _parsed_combined_batch(b, cfg), batch_format="pyarrow")
+
+
+def split_segments(parsed: ray.data.Dataset) -> ray.data.Dataset:
+    """kind=0 rows of the combined stage → the exact build_segments schema
+    (asserted identical in tests)."""
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t["kind"], 0))
+        return t.select(list(_COMBINED_SEG_COLS))
+
+    return parsed.map_batches(f, batch_format="pyarrow")
+
+
+def tiles_from_parsed(parsed: ray.data.Dataset,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """kind=1 rows of the combined stage → tiny groupby sum → decoded tiles
+    (identical output to build_tiles_from_pages — asserted in tests)."""
+    tile_size = cfg.tile_size
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t["kind"], 1))
+        return t.select(["tile_id", "n"])
+
+    agg = (parsed.map_batches(f, batch_format="pyarrow")
+           .groupby("tile_id").aggregate(Sum("n", alias_name="occupancy")))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_numpy()
+        i, j, _, _ = geom.cell_decode(tid, tile_size)
+        return pa.table(
+            {
+                "tile_id": pa.array(tid, type=pa.int64()),
+                "i": pa.array(i, type=pa.int64()),
+                "j": pa.array(j, type=pa.int64()),
+                "occupancy": pa.array(batch["occupancy"].to_numpy(),
+                                      type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # S1 CellEncoder — stateful actor pool (grid spec held per actor)
 # ---------------------------------------------------------------------------
 

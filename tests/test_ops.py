@@ -430,6 +430,35 @@ class TestMultimodal:
         assert fake_frame_sample(b"", 4) == []
 
 
+class TestFusedParse:
+    def test_combined_parse_equals_two_pass(self, ray_session):
+        """The single-parse combined stage split into segments/tiles must
+        equal the two-pass build_segments / build_tiles_from_pages outputs
+        exactly (round-3 review item 7: parse once, not once per branch)."""
+        from imc_ray import stages
+        from imc_ray.config import PipelineConfig
+
+        cfg = PipelineConfig()
+        pages = stages.synth_pages(120, seed=42).materialize()
+        extracted = stages.extract_pages(stages.dedup_pages(pages), cfg) \
+            .materialize()
+        parsed = stages.build_parsed(extracted, cfg).materialize()
+
+        seg_a = (stages.split_segments(parsed).to_pandas()
+                 .sort_values("seg_id").reset_index(drop=True))
+        seg_b = (stages.build_segments(extracted, cfg).to_pandas()
+                 .sort_values("seg_id").reset_index(drop=True))
+        assert seg_a.equals(seg_b)
+        assert len(seg_a) > 0
+
+        til_a = (stages.tiles_from_parsed(parsed, cfg).to_pandas()
+                 .sort_values("tile_id").reset_index(drop=True))
+        til_b = (stages.build_tiles_from_pages(extracted, cfg).to_pandas()
+                 .sort_values("tile_id").reset_index(drop=True))
+        assert til_a.equals(til_b)
+        assert len(til_a) > 0
+
+
 class TestSpatialJoinRouting:
     def test_spatial_join_routes_identical(self, ray_session):
         """The cell-keyed co-partitioned J3 (forced via threshold 0) must
