@@ -36,14 +36,29 @@ def _exact_label_sum(lab_ds: ray.data.Dataset, col: str) -> int:
     return (int(parts["hi"].sum()) << 31) + int(parts["lo"].sum())
 
 
-def dedupe_pairs(pairs: ray.data.Dataset, a: str = "a",
-                 b: str = "b") -> ray.data.Dataset:
-    """Global (a, b) pair dedupe via one keys-only groupby — pairs surfacing
-    from multiple LSH bands / probe buckets collapse to one edge.  Caller
+DRIVER_DEDUPE_MAX_PAIRS = 5_000_000
+# raw pair sets up to this (thin (a,b) int64 rows, ≤80 MB) dedupe on the
+# driver — one groupby shuffle costs ~1-2 s of aggregator fixed cost that
+# dominates small candidate sets (three dedup queries × 2-4 s at bench
+# scale); larger sets keep the distributed keys-only groupby.
+
+
+def dedupe_pairs(pairs: ray.data.Dataset, a: str = "a", b: str = "b",
+                 driver_max_pairs: int = DRIVER_DEDUPE_MAX_PAIRS) -> ray.data.Dataset:
+    """Global (a, b) pair dedupe — pairs surfacing from multiple LSH bands /
+    probe buckets collapse to one edge.  Routed by raw pair count (bounded
+    by candidate pairs, never corpus size): vectorized driver
+    drop_duplicates below ``driver_max_pairs``, one keys-only groupby above.
+    Same edge SET either way (downstream verify/CC are order-free).  Caller
     must ensure ``pairs`` is non-empty (an empty map_groups output has no
     schema for the groupby)."""
     from ray.data.aggregate import Count
 
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_max_pairs:
+        df = (pairs.to_pandas()[[a, b]].drop_duplicates()
+              .reset_index(drop=True))
+        return ray.data.from_pandas(df)
     return (pairs.groupby([a, b]).aggregate(Count(alias_name="_n"))
             .select_columns([a, b]))
 

@@ -212,6 +212,24 @@ class TestDedupFamily:
         assert a[["url", "warc_ts", "text", "lang"]].equals(
             b[["url", "warc_ts", "text", "lang"]])
 
+    def test_dedupe_pairs_routes_identical(self, ray_session):
+        """Driver drop_duplicates and distributed keys-only groupby must
+        yield the same edge set."""
+        import ray.data
+
+        from imc_ray import graph
+
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"a": [1, 1, 2, 2, 3], "b": [2, 2, 3, 3, 4]}))
+
+        def norm(d):
+            return (d.to_pandas().sort_values(["a", "b"])
+                    .reset_index(drop=True))
+
+        x = norm(graph.dedupe_pairs(ds))
+        y = norm(graph.dedupe_pairs(ds, driver_max_pairs=0))
+        assert x.equals(y) and len(x) == 3
+
     def test_distributed_components_equal_unionfind(self, ray_session):
         """graph.connected_components (join+groupby-min rounds, no driver
         state) must equal the driver UnionFind on random edge sets — the
