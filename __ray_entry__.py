@@ -198,6 +198,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_per_user": R.running_total_per_user,
         "sessionize_events": R.sessionize_events,
         "sliding_window_counts": R.sliding_window_counts,
+        "pivot_user_events": R.pivot_user_events,
+        "rollup_pricing": R.rollup_pricing,
+        "corr_quantity_price": R.corr_quantity_price,
+        "stddev_price_by_priority": R.stddev_price_by_priority,
+        "mode_event_per_user": R.mode_event_per_user,
+        "user_event_paths": R.user_event_paths,
+        "range_join_purchases": R.range_join_purchases,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -214,7 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": V.ann_lsh,
         "ann_ivf": V.ann_ivf,
         "embedding_near_dup": V.embedding_near_dup,
+        "embedding_exact_dup_groups": V.embedding_exact_dup_groups,
         "top_tokens": T.top_tokens,
+        "top_bigrams": T.top_bigrams,
+        "regex_token_stats": T.regex_token_stats,
         # sketches (A5 — approximate; accuracy asserted in pytest)
         "approx_distinct_hll": _approx_distinct,
         "quantile_sketch_prices": _quantile_sketch,
@@ -462,6 +472,92 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "pivot_user_events": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "rollup_pricing": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2)     AS sum_qty,
+                   count(*)                      AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "corr_quantity_price": """
+            SELECT count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 0) AS covar_qp,
+                   round(stddev_samp(l_quantity), 2)                 AS sd_qty,
+                   round(stddev_samp(l_extendedprice), 2)            AS sd_price
+            FROM lineitem
+        """,
+        "stddev_price_by_priority": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(stddev_samp(o_totalprice), 2) AS sd_price,
+                   round(var_samp(o_totalprice), 0)    AS var_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "mode_event_per_user": """
+            SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+            FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type)
+                           AS rn
+                FROM events GROUP BY user_id, event_type
+            )
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+                   count(*) AS n
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "range_join_purchases": """
+            SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+                   CAST(epoch_us(p.ts - s.ts) AS BIGINT) AS dt_us
+            FROM events s JOIN events p
+              ON p.user_id = s.user_id
+             AND p.ts > s.ts
+             AND p.ts <= s.ts + INTERVAL 14400 SECONDS
+            WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+            ORDER BY signup_id, purchase_id
+        """,
+        "embedding_exact_dup_groups": """
+            SELECT min(vec_id) AS vec_id, count(*) AS n_copies
+            FROM embeddings GROUP BY embedding ORDER BY vec_id
+        """,
+        "top_bigrams": """
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT toks[k] || ' ' || toks[k + 1] AS bigram
+                FROM (
+                    SELECT toks, unnest(range(1, len(toks))) AS k
+                    FROM (SELECT string_split(text, ' ') AS toks
+                          FROM documents)
+                )
+            )
+            GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 20
+        """,
+        "regex_token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\b[a-z]+s\b')) AS BIGINT)
+                       AS n_s_tokens,
+                   coalesce(regexp_extract(text, '\b([a-z]+s)\b', 1), '')
+                       AS first_s_token
+            FROM documents ORDER BY doc_id
         """,
         "top_tokens": """
             SELECT token, CAST(count(*) AS BIGINT) AS n

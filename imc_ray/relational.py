@@ -698,3 +698,258 @@ def embedding_norms(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(f, batch_format="pyarrow").to_pandas()
         .sort_values("vec_id").reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 widening: pivot / rollup / statistical aggregates / mode /
+# ordered string-agg / interval join (each mirrors an oracle_sql entry)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_user_events(sf_dir: str) -> pd.DataFrame:
+    """Pivot (conditional-aggregation crosstab): per-user event counts spread
+    into one column per event type.  In-batch ``pd.crosstab`` partials emit
+    one row per (user, batch) — the combiner — so the single
+    ``groupby(user_id)`` shuffle carries |users|-bounded rows, never one row
+    per event."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        ct.columns = [f"n_{c}" for c in _EVENT_TYPES]
+        return ct.reset_index()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}")
+                        for c in _EVENT_TYPES])
+           .to_pandas())
+    for c in _EVENT_TYPES:
+        agg[f"n_{c}"] = agg[f"n_{c}"].astype("int64")
+    agg["n_total"] = sum(agg[f"n_{c}"] for c in _EVENT_TYPES)
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
+def rollup_pricing(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping-sets aggregate over (l_returnflag, l_linestatus):
+    finest level + per-flag subtotals + grand total, subtotal keys shown as
+    'ALL'.  One distributed groupby produces the finest aggregate (a handful
+    of rows); the coarser levels derive from THAT on the driver — the
+    scale-correct rollup shape (never a second pass over the corpus)."""
+    finest = (read_table(sf_dir, "lineitem",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                         Count(alias_name="n"))
+              .to_pandas())
+    lvl1 = (finest.groupby("l_returnflag", as_index=False)
+            .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+    lvl1["l_linestatus"] = "ALL"
+    lvl2 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                         "sum_qty": [finest["sum_qty"].sum()],
+                         "n": [finest["n"].sum()]})
+    out = pd.concat([finest, lvl1, lvl2], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out = (out[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    return _r(out, ["sum_qty"])
+
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Statistical aggregates: Pearson correlation, sample covariance and
+    sample stddevs of (l_quantity, l_extendedprice) — one row.  Per-batch
+    moment partials (n, Σx, Σy, Σx², Σy², Σxy) reduce through a global Sum
+    aggregate; the closed forms evaluate on the driver over six numbers.
+    covar is rounded to 0 dp (the sum-of-products differs from DuckDB's
+    streaming algorithm by ~1e-2 at this magnitude); corr is scale-free so
+    6 dp is safe."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": [float(x.sum())], "sy": [float(y.sum())],
+            "sxx": [float((x * x).sum())], "syy": [float((y * y).sum())],
+            "sxy": [float((x * y).sum())],
+        })
+
+    m = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    n = float(m["n"])
+    cxy = (m["sxy"] - m["sx"] * m["sy"] / n) / (n - 1.0)
+    vx = (m["sxx"] - m["sx"] ** 2 / n) / (n - 1.0)
+    vy = (m["syy"] - m["sy"] ** 2 / n) / (n - 1.0)
+    df = pd.DataFrame([{
+        "n": int(m["n"]),
+        "corr_qp": float(round_half_away(cxy / np.sqrt(vx * vy), 6)),
+        "covar_qp": float(round_half_away(cxy, 0)),
+        "sd_qty": float(round_half_away(np.sqrt(vx), 2)),
+        "sd_price": float(round_half_away(np.sqrt(vy), 2)),
+    }])
+    return df
+
+
+def stddev_price_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Grouped variance/stddev (sample) of o_totalprice per order priority —
+    per-batch in-group moment partials, then one small groupby-sum; closed
+    form over the per-group moments."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].astype(np.float64)
+        g = df.assign(s=v, ss=v * v).groupby("o_orderpriority", as_index=False)
+        return g.agg(n=("s", "size"), s=("s", "sum"), ss=("ss", "sum"))
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))
+           .to_pandas())
+    n = agg["n"].astype(np.float64)
+    var = (agg["ss"] - agg["s"] ** 2 / n) / (n - 1.0)
+    out = pd.DataFrame({
+        "o_orderpriority": agg["o_orderpriority"],
+        "n": agg["n"].astype("int64"),
+        "sd_price": round_half_away(np.sqrt(var), 2),
+        "var_price": round_half_away(var, 0),
+    })
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def mode_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Mode aggregate per group: each user's most frequent event type (ties →
+    lexicographically smallest).  Two-level shape: distributed count per
+    (user, type), then a per-user argmax over ≤|event types| rows."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="stable").head(1)
+        return g.rename(columns={"event_type": "mode_type"})[
+            ["user_id", "mode_type", "n"]]
+
+    out = (counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def user_event_paths(sf_dir: str) -> pd.DataFrame:
+    """Ordered string-agg per group: each user's event-type sequence joined
+    ','-separated in (ts, event_id) order — list/string aggregation with an
+    explicit intra-group ordering contract (per-group memory bounded by the
+    user's event count)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "path": [",".join(g["event_type"])],
+            "n": np.array([len(g)], dtype=np.int64),
+        })
+
+    return (ds.groupby("user_id").map_groups(f, batch_format="pandas")
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+
+def range_join_purchases(sf_dir: str, window_s: int = 14400) -> pd.DataFrame:
+    """Interval / range join: (signup, purchase) event pairs of the same user
+    with the purchase inside (signup_ts, signup_ts + window].  Bucketed band
+    join: both sides key by (user, ⌊ts/window⌋) and the LEFT side replicates
+    into its own + the next bucket, so every qualifying pair meets in exactly
+    one bucket of an ordinary hash join (no replication ambiguity, no
+    all-pairs blowup); the exact range predicate filters after the join.
+    The partitioning assumption is bucket width == window — a pair can span
+    at most one bucket boundary."""
+    w_us = np.int64(window_s * 1_000_000)
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def side(t: pa.Table, etype: str, replicate: bool,
+             id_name: str, ts_name: str) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar(etype)))
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        bkt = ts // w_us
+        if replicate:
+            eid = np.repeat(eid, 2)
+            uid = np.repeat(uid, 2)
+            ts = np.repeat(ts, 2)
+            bkt = np.stack([bkt, bkt + 1], axis=1).reshape(-1)
+        return pa.table({
+            id_name: pa.array(eid, type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            ts_name: pa.array(ts, type=pa.int64()),
+            "bkt": pa.array(bkt, type=pa.int64()),
+        })
+
+    signups = ds.map_batches(
+        lambda t: side(t, "signup", True, "signup_id", "s_ts"),
+        batch_format="pyarrow").materialize()
+    purchases = ds.map_batches(
+        lambda t: side(t, "purchase", False, "purchase_id", "p_ts"),
+        batch_format="pyarrow")
+
+    # routed like every other small-side lookup in this repo: broadcast the
+    # replicated signup rows below the bound (one ray.put, pandas merge per
+    # purchase batch — no shuffle of either side), native hash join above
+    if signups.count() <= 2_000_000:
+        s_ref = ray.put(signups.to_pandas())
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({
+                    "signup_id": pd.Series(dtype="int64"),
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "dt_us": pd.Series(dtype="int64")})
+            m = df.merge(ray.get(s_ref), on=["user_id", "bkt"])
+            dt = m["p_ts"] - m["s_ts"]
+            m = m[(dt > 0) & (dt <= int(w_us))]
+            return pd.DataFrame({
+                "signup_id": m["signup_id"].astype("int64"),
+                "purchase_id": m["purchase_id"].astype("int64"),
+                "dt_us": (m["p_ts"] - m["s_ts"]).astype("int64")})
+
+        matched = purchases.map_batches(merge, batch_format="pandas")
+    else:
+        joined = signups.join(purchases, join_type="inner",
+                              num_partitions=join_partitions(cap=8),
+                              on=("user_id", "bkt"))
+
+        def in_range(t: pa.Table) -> pa.Table:
+            dt = pc.subtract(t["p_ts"], t["s_ts"])
+            mask = pc.and_(
+                pc.greater(dt, pa.scalar(0, type=pa.int64())),
+                pc.less_equal(dt, pa.scalar(int(w_us), type=pa.int64())))
+            t = t.filter(mask)
+            return pa.table({
+                "signup_id": t["signup_id"],
+                "purchase_id": t["purchase_id"],
+                "dt_us": pc.subtract(t["p_ts"], t["s_ts"]),
+            })
+
+        matched = joined.map_batches(in_range, batch_format="pyarrow")
+
+    out = (matched.to_pandas()
+           .sort_values(["signup_id", "purchase_id"]).reset_index(drop=True))
+    if out.empty:
+        out = pd.DataFrame({"signup_id": pd.Series(dtype="int64"),
+                            "purchase_id": pd.Series(dtype="int64"),
+                            "dt_us": pd.Series(dtype="int64")})
+    return out

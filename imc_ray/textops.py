@@ -667,3 +667,66 @@ def ngram_jaccard_pairs(sf_dir: str, min_jaccard: float = 0.2) -> pd.DataFrame:
                              "b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide bigram frequencies, top-k — the n-gram extension of
+    :func:`top_tokens`: adjacent-token pairs form inside each batch
+    (vectorized ``np.char.add`` over the token stream with document-boundary
+    masking), pre-aggregate via ``np.unique`` (combiner), then one
+    groupby-sum and a tiny sort+limit on the aggregate."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks, doc_idx = [], []
+        for i, s in enumerate(texts):
+            ws = s.split(" ")
+            toks.extend(ws)
+            doc_idx.extend([i] * len(ws))
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(toks) < 2:
+            return empty
+        arr = np.asarray(toks, dtype=str)
+        idx = np.asarray(doc_idx, dtype=np.int64)
+        same_doc = idx[:-1] == idx[1:]
+        if not same_doc.any():
+            return empty
+        big = np.char.add(np.char.add(arr[:-1][same_doc], " "),
+                          arr[1:][same_doc])
+        uniq, counts = np.unique(big, return_counts=True)
+        return pa.table({"bigram": pa.array(uniq.tolist(), type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bigram").aggregate(_Sum("n", alias_name="n")))
+    out = (agg.sort(["n", "bigram"], descending=[True, False])
+           .limit(k).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out[["bigram", "n"]].reset_index(drop=True)
+
+
+_S_TOKEN_RE = r"\b[a-z]+s\b"
+
+
+def regex_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Regex extraction scalar ops (both sides RE2: pyarrow.compute here,
+    DuckDB regexp_* in the oracle): per document, the count of plural-looking
+    tokens and the first such token ('' when none)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=_S_TOKEN_RE)
+        first = pc.struct_field(
+            pc.extract_regex(t["text"], pattern=r"\b(?P<w>[a-z]+s)\b"), "w")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_s_tokens": pc.cast(n, pa.int64()),
+            "first_s_token": pc.fill_null(first, ""),
+        })
+
+    return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))

@@ -542,3 +542,38 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.95,
     if verified.count() == 0:
         return graph.components_frame_empty(ids, "vec_id", "dup_group")
     return graph.components_frame(ids, verified, "vec_id", "dup_group")
+
+
+def embedding_exact_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over a vector column — the D1 content-hash pattern lifted
+    to ``list<float>``: group key = 128-bit blake2b of the row's raw float32
+    bytes (16 B through the shuffle instead of the embedding payload), then
+    groupby → (vec_id = min member, n_copies).  Byte equality of float32
+    vectors ⟺ list equality for the corpus contract (no NaN embeddings, no
+    mixed-sign zeros), which is exactly DuckDB's ``GROUP BY embedding``."""
+    import hashlib
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_emb_matrix(t))
+        h1 = np.empty(len(m), dtype=np.int64)
+        h2 = np.empty(len(m), dtype=np.int64)
+        for i in range(len(m)):
+            d = hashlib.blake2b(m[i].tobytes(), digest_size=16).digest()
+            h1[i] = int.from_bytes(d[:8], "big", signed=True)
+            h2[i] = int.from_bytes(d[8:], "big", signed=True)
+        return pa.table({"vec_id": t["vec_id"],
+                         "h1": pa.array(h1), "h2": pa.array(h2)})
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    out = (ds.map_batches(add_hash, batch_format="pyarrow")
+           .groupby(["h1", "h2"])
+           .aggregate(_Min("vec_id", alias_name="vec_id"),
+                      _Count(alias_name="n_copies"))
+           .to_pandas())
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return (out[["vec_id", "n_copies"]].sort_values("vec_id")
+            .reset_index(drop=True))

@@ -538,3 +538,82 @@ class TestKnnJoin:
             if list(mine) != ref:
                 mism += 1
         assert mism == 0
+
+
+class TestRound3Relational:
+    def test_range_join_bucket_boundary(self, ray_session, tmp_path):
+        """Bucketed band join must capture pairs that span a bucket boundary
+        and honour the (open, closed] window edges exactly: dt == window is
+        IN, dt == 0 and dt > window are OUT."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from imc_ray import relational
+
+        w = 14400 * 1_000_000  # window in us (the operator default)
+        base = np.int64(1_700_000_000_000_000)
+        # signup at base; purchases at dt = 0, 1, w-1 (same bucket),
+        # w (next bucket, still in), w+1 (out); plus an other-user purchase
+        rows = [
+            (1, 7, base, "signup"),
+            (2, 7, base, "purchase"),          # dt=0 → out (strict >)
+            (3, 7, base + 1, "purchase"),      # in
+            (4, 7, base + w - 1, "purchase"),  # in, same bucket
+            (5, 7, base + w, "purchase"),      # in, crosses bucket, dt==w
+            (6, 7, base + w + 1, "purchase"),  # out
+            (7, 8, base + 5, "purchase"),      # other user → out
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array(np.array([r[2] for r in rows],
+                                    dtype=np.int64).astype("datetime64[us]")),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = relational.range_join_purchases(str(tmp_path))
+        assert list(out["purchase_id"]) == [3, 4, 5]
+        assert list(out["dt_us"]) == [1, w - 1, w]
+
+    def test_embedding_exact_dup_groups_planted(self, ray_session, tmp_path):
+        """Hash-groupby vector dedup must recover GROUP BY embedding exactly
+        on planted duplicate vectors (float32-bit-identical ⟺ same group)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from imc_ray import vector
+
+        rng = np.random.default_rng(7)
+        m = rng.normal(size=(10, 8)).astype(np.float32)
+        m = np.vstack([m, m[0], m[3], m[0]])          # 10,11,12 are dups
+        near = m[1].copy()
+        near[0] += np.float32(1e-6)                    # near, NOT equal
+        m = np.vstack([m, near])                       # 13
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = vector.embedding_exact_dup_groups(str(tmp_path))
+        got = dict(zip(out["vec_id"], out["n_copies"]))
+        want = {i: 1 for i in range(10)}
+        want[0] = 3            # 0, 10, 12
+        want[3] = 2            # 3, 11
+        del want[3]; want[3] = 2
+        want[13] = 1
+        assert got == want
+
+    def test_rollup_internal_consistency(self, ray_session):
+        """Subtotal rows must equal the sum of their finest-level rows."""
+        from imc_ray import relational
+
+        out = relational.rollup_pricing("/root/testdata/sf0.001")
+        fine = out[(out["l_returnflag"] != "ALL")
+                   & (out["l_linestatus"] != "ALL")]
+        total = out[(out["l_returnflag"] == "ALL")]
+        assert int(total["n"].iloc[0]) == int(fine["n"].sum())
+        assert abs(float(total["sum_qty"].iloc[0])
+                   - float(fine["sum_qty"].sum())) < 0.05
