@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_per_user": R.mode_event_per_user,
         "user_event_paths": R.user_event_paths,
         "range_join_purchases": R.range_join_purchases,
+        "histogram_order_prices": R.histogram_order_prices,
+        "explode_embeddings": V.explode_embeddings,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -532,6 +534,20 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts <= s.ts + INTERVAL 14400 SECONDS
             WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
             ORDER BY signup_id, purchase_id
+        """,
+        "histogram_order_prices": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+                   round(floor(o_totalprice / 50000) * 50000.0, 2) AS lo_price,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2 ORDER BY bin
+        """,
+        "explode_embeddings": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 50)
+            ORDER BY vec_id, pos
         """,
         "embedding_exact_dup_groups": """
             SELECT min(vec_id) AS vec_id, count(*) AS n_copies

@@ -953,3 +953,21 @@ def range_join_purchases(sf_dir: str, window_s: int = 14400) -> pd.DataFrame:
                             "purchase_id": pd.Series(dtype="int64"),
                             "dt_us": pd.Series(dtype="int64")})
     return out
+
+
+def histogram_order_prices(sf_dir: str, bin_width: float = 50000.0) -> pd.DataFrame:
+    """Numeric binning histogram: orders counted per fixed-width price bin
+    (bin = ⌊price / width⌋) — binning inside ``map_batches`` then one grouped
+    count over ≤ price-range/width rows."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t["o_totalprice"], pa.scalar(bin_width)))
+        return pa.table({"bin": pc.cast(b, pa.int64())})
+
+    out = (ds.map_batches(binned, batch_format="pyarrow")
+           .groupby("bin").aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    out["lo_price"] = round_half_away(out["bin"].astype(np.float64)
+                                      * bin_width, 2)
+    return out[["bin", "lo_price", "n"]]

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -577,3 +578,36 @@ def embedding_exact_dup_groups(sf_dir: str) -> pd.DataFrame:
     out["n_copies"] = out["n_copies"].astype("int64")
     return (out[["vec_id", "n_copies"]].sort_values("vec_id")
             .reset_index(drop=True))
+
+
+def explode_embeddings(sf_dir: str, max_vecs: int = 50) -> pd.DataFrame:
+    """List explode (unnest WITH ORDINALITY): the first ``max_vecs`` vectors
+    by vec_id flatten to one row per (vec_id, position, value).  The flatten
+    is zero-copy off the Arrow list buffers — values come straight from the
+    child array, row ids via ``np.repeat`` over the list lengths; no Python
+    loop touches elements."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = head_by_vec_id(ds, max_vecs)
+    keep = pa.array(head["vec_id"].to_numpy(), type=pa.int64())
+    keep_ref = ray.put(keep)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["vec_id"], value_set=ray.get(keep_ref)))
+        col = t["embedding"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        vid = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), lens)
+        pos = np.concatenate([np.arange(1, n + 1, dtype=np.int64)
+                              for n in lens]) if len(lens) else \
+            np.array([], dtype=np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(vid, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "val": pa.array(round_half_away(vals.astype(np.float64), 6)),
+        })
+
+    out = (ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+           .sort_values(["vec_id", "pos"]).reset_index(drop=True))
+    return out
