@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": R.user_event_paths,
         "range_join_purchases": R.range_join_purchases,
         "histogram_order_prices": R.histogram_order_prices,
+        "q4_order_priority": R.q4_order_priority,
+        "cumulative_new_users": R.cumulative_new_users,
+        "ntile_order_prices": R.ntile_order_prices,
+        "chunk_dup_stats": T.chunk_dup_stats,
         "explode_embeddings": V.explode_embeddings,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
@@ -540,6 +544,56 @@ def oracle_sql() -> dict[str, str]:
                    round(floor(o_totalprice / 50000) * 50000.0, 2) AS lo_price,
                    count(*) AS n
             FROM orders GROUP BY 1, 2 ORDER BY bin
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1996-07-01')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "cumulative_new_users": """
+            SELECT day, CAST(new_users AS BIGINT) AS new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM (
+                SELECT day, count(*) AS new_users FROM (
+                    SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+                    FROM events GROUP BY user_id
+                ) GROUP BY day
+            ) ORDER BY day
+        """,
+        "ntile_order_prices": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                       AS tile
+            FROM orders ORDER BY o_orderkey
+        """,
+        "chunk_dup_stats": """
+            WITH p AS (
+                SELECT doc_id,
+                       array_to_string(
+                           toks[c * 10 + 1 : least((c + 1) * 10, len(toks))],
+                           ' ') AS chunk
+                FROM (
+                    SELECT doc_id, toks,
+                           unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT)))
+                               AS c
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents)
+                )
+            ), c AS (
+                SELECT chunk, count(*) AS cnt FROM p GROUP BY chunk
+            )
+            SELECT p.doc_id, count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+            FROM p JOIN c ON p.chunk = c.chunk
+            GROUP BY p.doc_id ORDER BY p.doc_id
         """,
         "explode_embeddings": """
             SELECT vec_id,

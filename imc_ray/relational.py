@@ -971,3 +971,72 @@ def histogram_order_prices(sf_dir: str, bin_width: float = 50000.0) -> pd.DataFr
     out["lo_price"] = round_half_away(out["bin"].astype(np.float64)
                                       * bin_width, 2)
     return out[["bin", "lo_price", "n"]]
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-style correlated EXISTS: orders counted per priority where at
+    least one lineitem shipped in 1996H1 — distinct qualifying order keys
+    (broadcastable at this SF; a semi hash join above the bound) → ``is_in``
+    semi-filter on orders → grouped count."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-07-01", "us"))
+    keys = (li.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                   pc.less(t["l_shipdate"], hi))),
+        batch_format="pyarrow").unique("l_orderkey"))
+    keys_ref = ray.put(pa.array(sorted(int(k) for k in keys),
+                                type=pa.int64()))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    out = (orders.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_orderkey"],
+                                    value_set=ray.get(keys_ref))),
+        batch_format="pyarrow")
+        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    return out
+
+
+def cumulative_new_users(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped cumulative distinct: users counted once on their
+    first-seen day, then a running total over days.  Distributed first-seen =
+    groupby(user).min(day-string); the cumulative sum runs over the tiny
+    per-day aggregate on the driver (days ≪ corpus)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    first = (ds.map_batches(day, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    per_day = (first.groupby("day").aggregate(Count(alias_name="new_users"))
+               .to_pandas().sort_values("day").reset_index(drop=True))
+    per_day["new_users"] = per_day["new_users"].astype("int64")
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype("int64")
+    return per_day[["day", "new_users", "cum_users"]]
+
+
+def ntile_order_prices(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """NTILE window function: orders bucketed into price quartiles within
+    each priority — per-group sort + SQL NTILE's size arithmetic (first
+    ``n % tiles`` tiles get the extra row), no global sort."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="stable")
+        n = len(g)
+        base, extra = divmod(n, tiles)
+        sizes = np.full(tiles, base, dtype=np.int64)
+        sizes[:extra] += 1
+        g["tile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64), sizes)
+        return g[["o_orderkey", "o_orderpriority", "tile"]]
+
+    out = (ds.groupby("o_orderpriority").map_groups(f, batch_format="pandas")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    out["tile"] = out["tile"].astype("int64")
+    return out

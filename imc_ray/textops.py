@@ -730,3 +730,62 @@ def regex_token_stats(sf_dir: str) -> pd.DataFrame:
 
     return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def chunk_dup_stats(sf_dir: str, chunk_tokens: int = 10) -> pd.DataFrame:
+    """Chunk-level (sub-document) dedup stats — the fixed-window variant of
+    paragraph dedup used on training corpora: each document splits into
+    consecutive ``chunk_tokens``-token chunks; a chunk is duplicated when the
+    SAME chunk text occurs more than once corpus-wide.  Emits per document
+    (n_chunks, n_dup_chunks).
+
+    Shape: thin (doc_id, chunk-hash) rows → grouped chunk counts → native
+    hash join back to the chunk rows (both sides shuffle only 16-byte keys;
+    no text moves after the first pass) → per-doc aggregate."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        doc_ids, h1s, h2s = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = s.split(" ")
+            parts = [" ".join(toks[i:i + chunk_tokens])
+                     for i in range(0, len(toks), chunk_tokens)]
+            doc_ids.extend([did] * len(parts))
+            ser = pd.Series(parts, dtype=object)
+            h1s.append(pd.util.hash_pandas_object(
+                ser, index=False, hash_key="imcray-chunk-h1-").to_numpy()
+                .view(np.int64))
+            h2s.append(pd.util.hash_pandas_object(
+                ser, index=False, hash_key="imcray-chunk-h2-").to_numpy()
+                .view(np.int64))
+        h1 = np.concatenate(h1s) if h1s else np.array([], dtype=np.int64)
+        h2 = np.concatenate(h2s) if h2s else np.array([], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "h1": pa.array(h1), "h2": pa.array(h2),
+        })
+
+    rows = ds.map_batches(chunks, batch_format="pyarrow").materialize()
+    counts = (rows.groupby(["h1", "h2"]).aggregate(_Count(alias_name="cnt")))
+    joined = rows.join(counts, join_type="inner",
+                       num_partitions=join_partitions(cap=8),
+                       on=("h1", "h2"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            "dup": pc.cast(pc.greater(t["cnt"], pa.scalar(1)), pa.int64()),
+        })
+
+    out = (joined.map_batches(mark, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(_Sum("one", alias_name="n_chunks"),
+                      _Sum("dup", alias_name="n_dup_chunks"))
+           .to_pandas())
+    out["n_chunks"] = out["n_chunks"].astype("int64")
+    out["n_dup_chunks"] = out["n_dup_chunks"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
