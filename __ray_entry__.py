@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_new_users": R.cumulative_new_users,
         "ntile_order_prices": R.ntile_order_prices,
         "chunk_dup_stats": T.chunk_dup_stats,
+        "simhash_near_dup": T.simhash_near_dup,
+        "order_status_matrix": R.order_status_matrix,
         "explode_embeddings": V.explode_embeddings,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
@@ -572,6 +574,17 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
                        AS tile
             FROM orders ORDER BY o_orderkey
+        """,
+        "order_status_matrix": """
+            SELECT p.o_orderpriority, s.o_orderstatus,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+            CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+            LEFT JOIN (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+                       FROM orders GROUP BY 1, 2) c
+              ON p.o_orderpriority = c.o_orderpriority
+             AND s.o_orderstatus = c.o_orderstatus
+            ORDER BY 1, 2
         """,
         "chunk_dup_stats": """
             WITH p AS (

@@ -1040,3 +1040,25 @@ def ntile_order_prices(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
            .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
     out["tile"] = out["tile"].astype("int64")
     return out
+
+
+def order_status_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cross join (small × small) with zero preservation: every
+    (priority, status) combination — including combinations with no orders —
+    with its order count.  Distinct key sets and the grouped count are
+    distributed; the |P|×|S| matrix assembles on the driver (tiny by
+    construction)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus"])
+    prios = sorted(ds.unique("o_orderpriority"))
+    stats = sorted(ds.unique("o_orderstatus"))
+    counts = (ds.groupby(["o_orderpriority", "o_orderstatus"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    full = pd.MultiIndex.from_product(
+        [prios, stats], names=["o_orderpriority", "o_orderstatus"]
+    ).to_frame(index=False)
+    out = full.merge(counts, how="left",
+                     on=["o_orderpriority", "o_orderstatus"])
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return (out.sort_values(["o_orderpriority", "o_orderstatus"])
+            .reset_index(drop=True))

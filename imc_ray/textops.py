@@ -789,3 +789,55 @@ def chunk_dup_stats(sf_dir: str, chunk_tokens: int = 10) -> pd.DataFrame:
     out["n_chunks"] = out["n_chunks"].astype("int64")
     out["n_dup_chunks"] = out["n_dup_chunks"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup groups (Manku/Charikar-style): 63-bit SimHash → 4
+    band keys of ~16 bits → (band, value) groupby; by pigeonhole ANY pair
+    within Hamming ≤ 3 of each other shares at least one of the 4 bands, so
+    the bucketed candidates are EXHAUSTIVE for the threshold — the verify
+    (popcount of the XOR, computed inline from the hashes the thin rows
+    already carry; no second text lookup) is exact, and the distributed
+    result equals the brute-force O(n²) grouping (asserted in pytest).
+    Groups assemble via the distributed min-label components of
+    :mod:`imc_ray.graph`; one row per doc (dup_group = min member)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def bands_fn(t: pa.Table) -> pa.Table:
+        hs = simhash64_batch(t["text"].to_pylist()).astype(np.uint64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(did)
+        shifts = np.array([0, 16, 32, 48], dtype=np.uint64)
+        vals = (hs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        return pa.table({
+            "band": pa.array(band_id),
+            "val": pa.array(vals.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(did, 4), type=pa.int64()),
+            "sh": pa.array(np.repeat(hs.astype(np.int64), 4)),
+        })
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = sub["doc_id"].to_numpy()
+        hs = sub["sh"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = hs[iu] ^ hs[ju]
+        # vectorized popcount over the XOR (uint64 → 8 bytes per value)
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[iu][keep].astype(np.int64),
+                             "b": ids[ju][keep].astype(np.int64)})
+
+    edges = (ds.map_batches(bands_fn, batch_format="pyarrow")
+             .groupby(["band", "val"])
+             .map_groups(pairs_fn, batch_format="pandas")
+             .materialize())
+    ids = ds.select_columns(["doc_id"])
+    if edges.count() == 0:
+        return graph.components_frame_empty(ids, "doc_id", "dup_group")
+    verified = graph.dedupe_pairs(edges)
+    return graph.components_frame(ids, verified, "doc_id", "dup_group")

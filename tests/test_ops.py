@@ -617,3 +617,51 @@ class TestRound3Relational:
         assert int(total["n"].iloc[0]) == int(fine["n"].sum())
         assert abs(float(total["sum_qty"].iloc[0])
                    - float(fine["sum_qty"].sum())) < 0.05
+
+    def test_simhash_near_dup_equals_bruteforce(self, ray_session, tmp_path):
+        """Band-bucketed Hamming grouping must equal the brute-force O(n²)
+        union-find exactly — the 4×16-bit pigeonhole makes the candidates
+        exhaustive at max_hamming=3, so this is equality, not recall."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from imc_ray import textops
+
+        rng = np.random.default_rng(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                 "theta", "iota", "kappa"]
+        texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+        # plant exact dups (Hamming 0) and one-token edits (small Hamming)
+        texts += [texts[0], texts[5], texts[5]]
+        edited = texts[10].split(" "); edited[3] = "omega"
+        texts.append(" ".join(edited))
+        ids = np.arange(len(texts), dtype=np.int64)
+        pq.write_table(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)}),
+                       str(tmp_path / "documents.parquet"))
+
+        out = textops.simhash_near_dup(str(tmp_path))
+        got = dict(zip(out["doc_id"], out["dup_group"]))
+
+        # brute force: popcount of all-pairs XOR + union-find
+        hs = textops.simhash64_batch(texts).astype(np.uint64)
+        parent = list(range(len(texts)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                ham = bin(int(hs[i] ^ hs[j])).count("1")
+                if ham <= 3:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        want = {i: min(k for k in range(len(texts)) if find(k) == find(i))
+                for i in range(len(texts))}
+        assert got == want
+        assert got[len(texts) - 4] == got[0]   # exact dup of 0 grouped
