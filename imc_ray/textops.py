@@ -228,6 +228,28 @@ def lang_id_documents(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _topk_count_rows(agg, key_col: str, k: int) -> pd.DataFrame:
+    """Exact top-k of a (key, n) aggregate WITHOUT a global sort: after the
+    groupby every key occurs exactly once, so per-block partial top-k
+    (lexsort on (-n, key)) + a tiny driver merge is equivalent to
+    ``sort(n desc, key).limit(k)`` — no AllToAll Sort operator in the plan
+    (the relational partial_topk pattern)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -n))[:k]
+        return pa.table({key_col: pa.array(keys[order].tolist(),
+                                           type=pa.string()),
+                         "n": pa.array(n[order], type=pa.int64())})
+
+    parts = agg.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["n", key_col], ascending=[False, True],
+                             kind="stable").head(k).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out[[key_col, "n"]]
+
+
 def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Corpus-wide token frequencies, top-k (the canonical wordcount): tokens
     pre-aggregate INSIDE each batch (np.unique partial counts — the
@@ -249,10 +271,7 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("token").aggregate(_Sum("n", alias_name="n")))
-    out = (agg.sort(["n", "token"], descending=[True, False])
-           .limit(k).to_pandas())
-    out["n"] = out["n"].astype("int64")
-    return out[["token", "n"]].reset_index(drop=True)
+    return _topk_count_rows(agg, "token", k)
 
 
 # ---------------------------------------------------------------------------
@@ -703,10 +722,7 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("bigram").aggregate(_Sum("n", alias_name="n")))
-    out = (agg.sort(["n", "bigram"], descending=[True, False])
-           .limit(k).to_pandas())
-    out["n"] = out["n"].astype("int64")
-    return out[["bigram", "n"]].reset_index(drop=True)
+    return _topk_count_rows(agg, "bigram", k)
 
 
 _S_TOKEN_RE = r"\b[a-z]+s\b"
