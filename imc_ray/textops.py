@@ -816,7 +816,14 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     already carry; no second text lookup) is exact, and the distributed
     result equals the brute-force O(n²) grouping (asserted in pytest).
     Groups assemble via the distributed min-label components of
-    :mod:`imc_ray.graph`; one row per doc (dup_group = min member)."""
+    :mod:`imc_ray.graph`; one row per doc (dup_group = min member).
+
+    Scale note: per-bucket pair generation is quadratic in bucket occupancy
+    (expected n/2^16 per band with a 64-bit hash, which pins 4 bands for the
+    Hamming ≤ 3 guarantee).  That holds to ~10^8 docs; beyond, widen the
+    fingerprint (128-bit SimHash → 8 bands keeps the same guarantee at ≤ 7
+    flipped bits) or shard buckets by a salt and merge via the same CC pass
+    — the chain downstream of ``pairs_fn`` is unchanged either way."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     def bands_fn(t: pa.Table) -> pa.Table:
