@@ -665,3 +665,23 @@ class TestRound3Relational:
                 for i in range(len(texts))}
         assert got == want
         assert got[len(texts) - 4] == got[0]   # exact dup of 0 grouped
+
+    def test_topk_count_rows_equals_global_sort(self, ray_session):
+        """The partial top-k over a grouped count aggregate must equal the
+        global sort+limit it replaced (keys are unique post-groupby, so the
+        per-block head-k merge is exact)."""
+        from ray.data.aggregate import Sum
+
+        import pyarrow as pa
+        import ray.data
+
+        from imc_ray import textops
+
+        rows = [{"token": f"t{i % 37:02d}", "n": 1} for i in range(500)]
+        ds = ray.data.from_items(rows, override_num_blocks=8)
+        agg = ds.groupby("token").aggregate(Sum("n", alias_name="n"))
+        got = textops._topk_count_rows(agg, "token", 10)
+        want = (agg.sort(["n", "token"], descending=[True, False]).limit(10)
+                .to_pandas())
+        assert list(got["token"]) == list(want["token"])
+        assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]]
