@@ -213,6 +213,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": T.simhash_near_dup,
         "order_status_matrix": R.order_status_matrix,
         "explode_embeddings": V.explode_embeddings,
+        "cube_pricing": R.cube_pricing,
+        "regression_price_qty": R.regression_price_qty,
+        "lead_next_gap": R.lead_next_gap,
+        "best_order_per_customer": R.best_order_per_customer,
+        "fuzzy_name_pairs": T.fuzzy_name_pairs,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -585,6 +590,55 @@ def oracle_sql() -> dict[str, str]:
               ON p.o_orderpriority = c.o_orderpriority
              AND s.o_orderstatus = c.o_orderstatus
             ORDER BY 1, 2
+        """,
+        "cube_pricing": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2)     AS sum_qty,
+                   count(*)                      AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "regression_price_qty": """
+            SELECT count(*) AS n,
+                   round(covar_pop(l_quantity, l_extendedprice), 0)
+                       AS covar_pop_qp,
+                   round(regr_slope(l_extendedprice, l_quantity), 3)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 3)
+                       AS intercept
+            FROM lineitem
+        """,
+        "lead_next_gap": """
+            SELECT event_id, gap_s FROM (
+                SELECT event_id,
+                       epoch(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) - ts)
+                           AS gap_s
+                FROM events
+            ) WHERE gap_s IS NOT NULL ORDER BY event_id
+        """,
+        "best_order_per_customer": """
+            SELECT o_custkey, best_order, round(best_price, 2) AS best_price
+            FROM (
+                SELECT o_custkey, o_orderkey AS best_order,
+                       o_totalprice AS best_price,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.p_brand AS p_brand,
+                   a.p_partkey AS key1, b.p_partkey AS key2,
+                   levenshtein(a.p_name, b.p_name) AS lev,
+                   jaccard(a.p_name, b.p_name)     AS jac
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ORDER BY p_brand, key1, key2
         """,
         "chunk_dup_stats": """
             WITH p AS (

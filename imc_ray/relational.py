@@ -1062,3 +1062,115 @@ def order_status_matrix(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].fillna(0).astype("int64")
     return (out.sort_values(["o_orderpriority", "o_orderstatus"])
             .reset_index(drop=True))
+
+
+def cube_pricing(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE over (l_returnflag, l_linestatus): all four grouping
+    sets — finest, per-flag, per-status, grand total — with subtotal keys
+    shown as 'ALL'.  Like :func:`rollup_pricing`, ONE distributed groupby
+    produces the finest aggregate (≤ |flags|×|statuses| rows) and every
+    coarser set derives from that tiny frame on the driver; a cube never
+    needs a second pass over the corpus."""
+    finest = (read_table(sf_dir, "lineitem",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                         Count(alias_name="n"))
+              .to_pandas())
+    by_flag = (finest.groupby("l_returnflag", as_index=False)
+               .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+    by_flag["l_linestatus"] = "ALL"
+    by_status = (finest.groupby("l_linestatus", as_index=False)
+                 .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          "sum_qty": [finest["sum_qty"].sum()],
+                          "n": [finest["n"].sum()]})
+    out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out = (out[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    return _r(out, ["sum_qty"])
+
+
+def regression_price_qty(sf_dir: str) -> pd.DataFrame:
+    """Linear-regression aggregates of l_extendedprice on l_quantity:
+    population covariance, OLS slope and intercept — one row from the same
+    six streaming moment partials as :func:`corr_quantity_price` (per-batch
+    Σ/Σ²/Σxy reduced through a global Sum).  Slope/intercept are rounded to
+    3 dp on both sides (summation order vs DuckDB's streaming update differs
+    at ~1e-6 relative); covar_pop to 0 dp (absolute magnitude ~1e5)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": [float(x.sum())], "sy": [float(y.sum())],
+            "sxx": [float((x * x).sum())], "sxy": [float((x * y).sum())],
+        })
+
+    m = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("sxy", alias_name="sxy"))
+    n = float(m["n"])
+    covp = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
+    varp = m["sxx"] / n - (m["sx"] / n) ** 2
+    slope = covp / varp
+    intercept = m["sy"] / n - slope * m["sx"] / n
+    return pd.DataFrame([{
+        "n": int(m["n"]),
+        "covar_pop_qp": float(round_half_away(covp, 0)),
+        "slope": float(round_half_away(slope, 3)),
+        "intercept": float(round_half_away(intercept, 3)),
+    }])
+
+
+def lead_next_gap(sf_dir: str) -> pd.DataFrame:
+    """LEAD window function: per event, seconds until the SAME user's next
+    event (events with no successor are dropped, mirroring ``WHERE gap IS
+    NOT NULL``).  Same keyed-group shape as sessionize: one shuffle on
+    user_id, sort + shifted diff inside the group."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        # raw float seconds — the driver compare rounds both sides to 6 dp,
+        # so a second rounding here would double-round vs the oracle
+        gap = (g["ts"].shift(-1) - g["ts"]).dt.total_seconds()
+        g["gap_s"] = gap
+        return g.loc[gap.notna(), ["event_id", "gap_s"]]
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def best_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """arg_max / max_by aggregate: each customer's highest-priced order
+    (ties → smallest order key).  Classic combiner shape: every batch first
+    reduces to ≤ one row per customer IN the batch (sort + drop_duplicates),
+    so the single ``groupby(o_custkey)`` shuffle carries |customers|-bounded
+    rows; the final per-group argmax sees ≤ #blocks candidate rows."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True], kind="stable")
+                .drop_duplicates("o_custkey"))
+
+    out = (ds.map_batches(best, batch_format="pandas")
+           .groupby("o_custkey")
+           .map_groups(best, batch_format="pandas")
+           .to_pandas()
+           .rename(columns={"o_orderkey": "best_order",
+                            "o_totalprice": "best_price"}))
+    out["best_order"] = out["best_order"].astype("int64")
+    out = _r(out, ["best_price"])
+    return out.sort_values("o_custkey").reset_index(drop=True)

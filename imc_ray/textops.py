@@ -864,3 +864,106 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         return graph.components_frame_empty(ids, "doc_id", "dup_group")
     verified = graph.dedupe_pairs(edges)
     return graph.components_frame(ids, verified, "doc_id", "dup_group")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — blocked edit-distance / set-similarity pairs
+# ---------------------------------------------------------------------------
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
+                       iu: np.ndarray, ju: np.ndarray) -> np.ndarray:
+    """Batch Levenshtein, vectorized ACROSS pairs: the (L×L) DP grid runs as
+    L² numpy ops over all P pairs at once instead of a Python DP per pair
+    (L = longest string; for blocked fuzzy matching L is small by contract).
+    Cell (i, j) only reads characters A[:i]/B[:j], so zero-padding beyond
+    each string's true length never influences the value captured at
+    (len_a, len_b)."""
+    A, la = codes[iu], lens[iu]
+    B, lb = codes[ju], lens[ju]
+    P, L = len(iu), codes.shape[1]
+    out = np.empty(P, dtype=np.int64)
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64), (P, L + 1)).copy()
+    done = la == 0
+    out[done] = lb[done]
+    for i in range(1, L + 1):
+        cur = np.empty((P, L + 1), dtype=np.int64)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, L + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost)
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out
+
+
+def _charset_masks(byte_rows: list[bytes]) -> np.ndarray:
+    """256-bit character-set bitmask per string (32 bytes) for exact
+    set-Jaccard via popcount — the same character-SET semantics as DuckDB's
+    ``jaccard()`` (repeats collapse; the similarity is |A∩B| / |A∪B|)."""
+    masks = np.zeros((len(byte_rows), 32), dtype=np.uint8)
+    for k, b in enumerate(byte_rows):
+        arr = np.frombuffer(b, dtype=np.uint8)
+        np.bitwise_or.at(masks[k], arr >> 3,
+                         np.left_shift(1, arr & 7).astype(np.uint8))
+    return masks
+
+
+def fuzzy_name_pairs(sf_dir: str, max_lev: int = 3) -> pd.DataFrame:
+    """Blocked fuzzy matching over part names: within each brand (the
+    blocking key), every name pair with Levenshtein distance ≤ ``max_lev``,
+    with the exact character-set Jaccard similarity alongside.
+
+    The canonical fuzzy-dedup shape at scale: a cheap BLOCKING key bounds
+    the quadratic all-pairs step to one block (here |brand| ≈ corpus/25;
+    in a web corpus the block key would be an LSH bucket or sorted-
+    neighborhood window), the shuffle carries only (block, key, name) thin
+    rows, and each block's pair generation + DP runs vectorized inside one
+    ``map_groups`` task.  Oracle: DuckDB ``levenshtein``/``jaccard`` over a
+    blocked self-join."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_name", "p_brand"])
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("p_partkey")
+        keys = g["p_partkey"].to_numpy()
+        names = [s.encode("utf-8") for s in g["p_name"]]
+        empty = pd.DataFrame({
+            "p_brand": pd.Series(dtype="object"),
+            "key1": pd.Series(dtype="int64"),
+            "key2": pd.Series(dtype="int64"),
+            "lev": pd.Series(dtype="int64"),
+            "jac": pd.Series(dtype="float64")})
+        if len(names) < 2:
+            return empty
+        lens = np.array([len(b) for b in names], dtype=np.int64)
+        codes = np.zeros((len(names), int(lens.max())), dtype=np.uint8)
+        for k, b in enumerate(names):
+            codes[k, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        iu, ju = np.triu_indices(len(names), k=1)
+        lev = _levenshtein_pairs(codes, lens, iu, ju)
+        keep = lev <= max_lev
+        if not keep.any():
+            return empty
+        iu, ju, lev = iu[keep], ju[keep], lev[keep]
+        masks = _charset_masks(names)
+        inter = _POP8[masks[iu] & masks[ju]].sum(axis=1)
+        union = _POP8[masks[iu] | masks[ju]].sum(axis=1)
+        return pd.DataFrame({
+            "p_brand": g["p_brand"].iloc[0],
+            "key1": keys[iu].astype(np.int64),
+            "key2": keys[ju].astype(np.int64),
+            "lev": lev,
+            "jac": inter / union})
+
+    out = (ds.groupby("p_brand").map_groups(pairs_fn, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["p_brand", "key1", "key2"])
+            .reset_index(drop=True))

@@ -685,3 +685,50 @@ class TestRound3Relational:
                 .to_pandas())
         assert list(got["token"]) == list(want["token"])
         assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]]
+
+    def test_levenshtein_pairs_kernel(self):
+        """Pair-vectorized DP equals the textbook per-pair DP (random short
+        strings incl. empties, repeats and length skew)."""
+        import numpy as np
+
+        from imc_ray.textops import _levenshtein_pairs
+
+        def ref(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rng = np.random.default_rng(7)
+        words = ["".join(rng.choice(list("abcde"), size=int(n)))
+                 for n in rng.integers(0, 12, size=30)]
+        bs = [w.encode() for w in words]
+        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        L = max(1, int(lens.max()))
+        codes = np.zeros((len(bs), L), dtype=np.uint8)
+        for k, b in enumerate(bs):
+            codes[k, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        iu, ju = np.triu_indices(len(words), k=1)
+        got = _levenshtein_pairs(codes, lens, iu, ju)
+        want = [ref(words[i], words[j]) for i, j in zip(iu, ju)]
+        assert got.tolist() == want
+
+    def test_charset_jaccard_masks(self):
+        """Bitmask popcount Jaccard equals explicit character-set math
+        (DuckDB jaccard() semantics: repeats collapse)."""
+        import numpy as np
+
+        from imc_ray.textops import _POP8, _charset_masks
+
+        words = [b"small ring", b"small gizmo", b"red widget", b"aa", b"ab"]
+        masks = _charset_masks(list(words))
+        for i in range(len(words)):
+            for j in range(len(words)):
+                a, b = set(words[i]), set(words[j])
+                inter = int(_POP8[masks[i] & masks[j]].sum())
+                union = int(_POP8[masks[i] | masks[j]].sum())
+                assert inter == len(a & b) and union == len(a | b)
