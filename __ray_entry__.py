@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_next_gap": R.lead_next_gap,
         "best_order_per_customer": R.best_order_per_customer,
         "fuzzy_name_pairs": T.fuzzy_name_pairs,
+        "event_flags_per_type": R.event_flags_per_type,
+        "events_monthly": R.events_monthly,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -639,6 +641,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY p_brand, key1, key2
+        """,
+        "event_flags_per_type": """
+            SELECT event_type,
+                   bit_or(CAST(floor(value) AS BIGINT) & 255) AS flags_or,
+                   bool_or(value > 400.0)  AS any_high,
+                   bool_and(value >= 1.0)  AS all_nonneg
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_monthly": """
+            SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "chunk_dup_stats": """
             WITH p AS (

