@@ -286,44 +286,73 @@ def union_orders(sf_dir: str) -> pd.DataFrame:
 
 _BIG_ORDER = 350000.0
 
-
-def _big_order_custkeys(sf_dir: str) -> pa.Array:
-    """Distinct customers holding a 'big' order — the broadcast key set for
-    the semi/anti joins (J6), as an Arrow int64 array for ``pc.is_in``."""
-    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    keys = ds.map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(_BIG_ORDER))),
-        batch_format="pyarrow",
-    ).unique("o_custkey")
-    return pa.array(sorted(int(k) for k in keys), type=pa.int64())
+#: keys below this broadcast as one ray.put Arrow array (~8 B/key); above,
+#: the filter becomes a distinct-build + hash semi/anti join — the key set
+#: of a semi filter is corpus-proportional in general (round-3 audit).
+_SEMI_BROADCAST_MAX_KEYS = 2_000_000
 
 
-def _key_filter_customers(sf_dir: str, keep_in: bool) -> pd.DataFrame:
-    keys_ref = ray.put(_big_order_custkeys(sf_dir))
-    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+def semi_filter(ds: ray.data.Dataset, col: str,
+                keys_ds: ray.data.Dataset, key_col: str,
+                keep_in: bool = True,
+                broadcast_max_keys: int = _SEMI_BROADCAST_MAX_KEYS
+                ) -> ray.data.Dataset:
+    """Routed semi (``keep_in``) / anti filter of ``ds[col]`` against the
+    distinct values of ``keys_ds[key_col]``.  Below the key bound: one
+    ``ray.put`` of the sorted key array + vectorized ``pc.is_in`` per batch
+    (no shuffle of either side).  Above: distinct keys stay a Dataset
+    (groupby — never ``unique()``, which materializes on the driver) and the
+    filter is an ordinary hash join — inner for semi, left-outer + null-marker
+    drop for anti.  Identical outputs either way (route-equality test)."""
+    distinct = keys_ds.groupby(key_col).aggregate(Count(alias_name="_one"))
+    if distinct.count() <= broadcast_max_keys:
+        keys = pa.array(sorted(int(k) for k in distinct.unique(key_col)),
+                        type=pa.int64())
+        keys_ref = ray.put(keys)
 
-    def f(t: pa.Table) -> pa.Table:
-        # vectorized membership: Arrow is_in against the broadcast key set
-        mask = pc.is_in(t["c_custkey"], value_set=ray.get(keys_ref))
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[col], value_set=ray.get(keys_ref))
+            return t.filter(mask if keep_in else pc.invert(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+    joined = ds.join(distinct,
+                     join_type="inner" if keep_in else "left_outer",
+                     num_partitions=join_partitions(cap=8),
+                     on=(col,), right_on=(key_col,))
+    drop = [c for c in (key_col, "_one") if c != col]
+
+    def strip(t: pa.Table) -> pa.Table:
         if not keep_in:
-            mask = pc.invert(mask)
-        return t.filter(mask)
+            t = t.filter(pc.is_null(t["_one"]))
+        return t.drop_columns([c for c in drop if c in t.column_names])
 
-    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return joined.map_batches(strip, batch_format="pyarrow")
+
+
+def _key_filter_customers(sf_dir: str, keep_in: bool, **kw) -> pd.DataFrame:
+    big = read_table(sf_dir, "orders",
+                     columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"],
+                                      pa.scalar(_BIG_ORDER))),
+        batch_format="pyarrow")
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = semi_filter(ds, "c_custkey", big, "o_custkey",
+                      keep_in=keep_in, **kw).to_pandas()
     if out.empty:  # preserve schema on empty results
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    return (out[["c_custkey", "c_name"]]
+            .sort_values("c_custkey").reset_index(drop=True))
 
 
-def semi_join_customers(sf_dir: str) -> pd.DataFrame:
-    """J6 semi-join: customers with ≥1 big order — broadcast key-set filter."""
-    return _key_filter_customers(sf_dir, True)
+def semi_join_customers(sf_dir: str, **kw) -> pd.DataFrame:
+    """J6 semi-join: customers with ≥1 big order — routed key-set filter."""
+    return _key_filter_customers(sf_dir, True, **kw)
 
 
-def anti_join_customers(sf_dir: str) -> pd.DataFrame:
+def anti_join_customers(sf_dir: str, **kw) -> pd.DataFrame:
     """J6 anti-join: customers with no big order."""
-    return _key_filter_customers(sf_dir, False)
+    return _key_filter_customers(sf_dir, False, **kw)
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
@@ -981,21 +1010,15 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     lo = pa.scalar(np.datetime64("1996-01-01", "us"))
     hi = pa.scalar(np.datetime64("1996-07-01", "us"))
-    keys = (li.map_batches(
+    qualifying = li.map_batches(
         lambda t: t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
                                    pc.less(t["l_shipdate"], hi))),
-        batch_format="pyarrow").unique("l_orderkey"))
-    keys_ref = ray.put(pa.array(sorted(int(k) for k in keys),
-                                type=pa.int64()))
-
+        batch_format="pyarrow")
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderpriority"])
-    out = (orders.map_batches(
-        lambda t: t.filter(pc.is_in(t["o_orderkey"],
-                                    value_set=ray.get(keys_ref))),
-        batch_format="pyarrow")
-        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
-        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    out = (semi_filter(orders, "o_orderkey", qualifying, "l_orderkey")
+           .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+           .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
     return out
 
 

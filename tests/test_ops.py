@@ -760,3 +760,15 @@ class TestRound3Relational:
         assert got["b"].astype("int64").tolist() == want["b"].tolist()
         assert got["o"].astype(bool).tolist() == want["o"].tolist()
         assert got["a"].astype(bool).tolist() == want["a"].tolist()
+
+    def test_semi_filter_routes_identical(self, ray_session):
+        """Broadcast is_in and hash-join semi/anti routes must agree
+        (round-3 audit: the key set of a semi filter is corpus-proportional,
+        so the broadcast-only path needed a scale route)."""
+        from imc_ray import relational
+
+        for fn in (relational.semi_join_customers,
+                   relational.anti_join_customers):
+            bcast = fn(SF)
+            joined = fn(SF, broadcast_max_keys=0)
+            assert bcast.equals(joined), fn.__name__
