@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": T.fuzzy_name_pairs,
         "event_flags_per_type": R.event_flags_per_type,
         "events_monthly": R.events_monthly,
+        "rank_orders": R.rank_orders,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -641,6 +642,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY p_brand, key1, key2
+        """,
+        "rank_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                   row_number() OVER (ORDER BY o_totalprice DESC,
+                                      o_orderkey) AS rn
+            FROM orders ORDER BY o_orderkey
         """,
         "event_flags_per_type": """
             SELECT event_type,

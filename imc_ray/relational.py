@@ -1045,7 +1045,13 @@ def cumulative_new_users(sf_dir: str) -> pd.DataFrame:
 def ntile_order_prices(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
     """NTILE window function: orders bucketed into price quartiles within
     each priority — per-group sort + SQL NTILE's size arithmetic (first
-    ``n % tiles`` tiles get the extra row), no global sort."""
+    ``n % tiles`` tiles get the extra row), no global sort.
+
+    Partitioning assumption: the window's partition key (priority, 5
+    values) makes each group corpus/5 rows — fine while a partition fits
+    one task; for windows over low-cardinality partitions at corpus scale,
+    rank via :func:`global_row_number` (bucketed, no partition-sized task)
+    and derive the tile from ``rn`` arithmetically."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
 
@@ -1291,3 +1297,77 @@ def events_monthly(sf_dir: str) -> pd.DataFrame:
            .to_pandas().sort_values("month").reset_index(drop=True))
     out["n"] = out["n"].astype("int64")
     return _r(out, ["sum_value"])
+
+
+def global_row_number(ds: ray.data.Dataset, key_col: str, tie_col: str,
+                      descending: bool = False,
+                      n_buckets: int | None = None) -> ray.data.Dataset:
+    """Distributed exact ``row_number() OVER (ORDER BY key [DESC], tie)``
+    WITHOUT a global sort into one task: sampled range boundaries bucket the
+    rows (per-batch evenly-spaced subsample → driver quantile cut — the
+    deterministic range-partition trick), per-bucket counts cumsum into
+    bucket offsets on the driver (≤ n_buckets rows), and each bucket ranks
+    locally as offset + local sort index.  The shuffle moves every row ONCE
+    (the same cost as any rank) but no task ever holds more than ~n/B rows.
+
+    Skew caveat (documented partitioning assumption): bucketing is on
+    ``key_col`` values, so one value carrying a corpus-dominant share of
+    rows concentrates its bucket — salt such keys or rank per partition
+    key instead (the per-group window ops above)."""
+    n = ds.count()
+    if n == 0:
+        return ds
+    if n_buckets is None:
+        n_buckets = min(1024, max(32, n // 2_000_000))
+    sgn = -1.0 if descending else 1.0
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = np.sort(sgn * t[key_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        idx = np.linspace(0, len(v) - 1, num=min(64, len(v))).astype(np.int64)
+        return pa.table({"v": pa.array(v[idx], type=pa.float64())})
+
+    pool = np.sort(ds.map_batches(sample, batch_format="pyarrow")
+                   .to_pandas()["v"].to_numpy())
+    cuts = np.linspace(0, len(pool) - 1, num=n_buckets + 1)[1:-1]
+    bounds = np.unique(pool[cuts.astype(np.int64)])
+    bounds_ref = ray.put(bounds)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        key = sgn * t[key_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(ray.get(bounds_ref), key, side="left")
+        return pa.table({
+            "bucket": pa.array(b, type=pa.int64()),
+            key_col: t[key_col], tie_col: t[tie_col]})
+
+    keyed = ds.map_batches(bucketed, batch_format="pyarrow").materialize()
+    counts = (keyed.groupby("bucket").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("bucket"))
+    offs = np.zeros(len(bounds) + 1, dtype=np.int64)
+    np.put(offs, counts["bucket"].to_numpy(),
+           counts["n"].to_numpy())
+    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    offs_ref = ray.put(offs)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, tie_col],
+                          ascending=[not descending, True], kind="stable")
+        base = int(ray.get(offs_ref)[int(g["bucket"].iloc[0])])
+        g["rn"] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[tie_col, key_col, "rn"]]
+
+    return keyed.groupby("bucket").map_groups(rank, batch_format="pandas")
+
+
+def rank_orders(sf_dir: str) -> pd.DataFrame:
+    """Global window rank: every order's 1-based row_number by descending
+    price (ties → order key) via :func:`global_row_number` — exact global
+    order statistics with a bucketed shuffle instead of a single-task
+    sort."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = (global_row_number(ds, "o_totalprice", "o_orderkey",
+                             descending=True, n_buckets=32)
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    out = out.rename(columns={"o_totalprice": "price"})
+    out["rn"] = out["rn"].astype("int64")
+    return _r(out[["o_orderkey", "price", "rn"]], ["price"])

@@ -772,3 +772,24 @@ class TestRound3Relational:
             bcast = fn(SF)
             joined = fn(SF, broadcast_max_keys=0)
             assert bcast.equals(joined), fn.__name__
+
+    def test_global_row_number_bucket_invariance(self, ray_session):
+        """Exact ranks must not depend on the bucket count (the sampled
+        range partition only balances work), and must equal a local sort."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from imc_ray.relational import global_row_number
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"k": rng.choice([1.5, 2.5, 2.5, 7.0, 9.25], 300),
+                           "tid": np.arange(300, dtype=np.int64)})
+        want = df.sort_values(["k", "tid"]).reset_index(drop=True)
+        want["rn"] = np.arange(1, 301, dtype=np.int64)
+        want = want.sort_values("tid").reset_index(drop=True)
+        for nb in (2, 7, 64):
+            ds = ray.data.from_pandas(df, override_num_blocks=5)
+            got = (global_row_number(ds, "k", "tid", n_buckets=nb)
+                   .to_pandas().sort_values("tid").reset_index(drop=True))
+            assert got["rn"].tolist() == want["rn"].tolist(), nb
