@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_flags_per_type": R.event_flags_per_type,
         "events_monthly": R.events_monthly,
         "rank_orders": R.rank_orders,
+        "tfidf_top_terms": T.tfidf_top_terms,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -642,6 +643,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY p_brand, key1, key2
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       CAST(tf.tf AS DOUBLE)
+                           * ln((SELECT CAST(count(*) AS DOUBLE)
+                                 FROM documents) / df.df) AS score
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, term) AS rn
+                FROM scored
+            ) WHERE rn <= 3 ORDER BY doc_id, term
         """,
         "rank_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS price,

@@ -967,3 +967,60 @@ def fuzzy_name_pairs(sf_dir: str, max_lev: int = 3) -> pd.DataFrame:
            .to_pandas())
     return (out.sort_values(["p_brand", "key1", "key2"])
             .reset_index(drop=True))
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """TF-IDF feature extraction: each document's top-``k`` terms by
+    ``tf · ln(N/df)`` (ties → lexicographic).  The LLM-pipeline shape end to
+    end: a document lives in ONE row, so term frequencies reduce fully
+    inside the batch (no per-occurrence shuffle); document frequencies stay
+    a distributed ``groupby(term)`` (vocabulary is corpus-proportional —
+    never a driver/broadcast table); tf meets df through an ordinary hash
+    join on the term; the per-doc top-k is a doc-vocabulary-bounded group.
+    Oracle: the same expression in DuckDB (unnest → tf/df CTEs → window)."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text"]).materialize()
+    n_docs = ds.count()
+
+    def tf_fn(t: pa.Table) -> pa.Table:
+        dids, terms, tfs = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            uniq, counts = np.unique(np.asarray(s.split(" "), dtype=object),
+                                     return_counts=True)
+            dids.append(np.full(len(uniq), did, dtype=np.int64))
+            terms.append(uniq)
+            tfs.append(counts)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(dids) if dids else [],
+                               type=pa.int64()),
+            "term": pa.array(np.concatenate(terms).tolist() if terms else [],
+                             type=pa.string()),
+            "tf": pa.array(np.concatenate(tfs) if tfs else [],
+                           type=pa.int64()),
+        })
+
+    tf = ds.map_batches(tf_fn, batch_format="pyarrow").materialize()
+    df_counts = tf.groupby("term").aggregate(_Count(alias_name="df"))
+    joined = tf.join(df_counts, join_type="inner",
+                     num_partitions=join_partitions(cap=8), on=("term",))
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"], "term": t["term"], "tf": t["tf"],
+            "score": pa.array(tfv * np.log(float(n_docs) / dfv)),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["score", "term"], ascending=[False, True],
+                              kind="stable").head(k))
+
+    out = (joined.map_batches(score_fn, batch_format="pyarrow")
+           .groupby("doc_id").map_groups(topk, batch_format="pandas")
+           .to_pandas())
+    out["tf"] = out["tf"].astype("int64")
+    return (out[["doc_id", "term", "tf", "score"]]
+            .sort_values(["doc_id", "term"]).reset_index(drop=True))
