@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_monthly": R.events_monthly,
         "rank_orders": R.rank_orders,
         "tfidf_top_terms": T.tfidf_top_terms,
+        "dense_rank_orders": R.dense_rank_orders,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -643,6 +644,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY p_brand, key1, key2
+        """,
+        "dense_rank_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                   CAST(dense_rank() OVER (ORDER BY o_totalprice DESC)
+                        AS BIGINT) AS drk
+            FROM orders ORDER BY o_orderkey
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -1314,6 +1314,10 @@ def global_row_number(ds: ray.data.Dataset, key_col: str, tie_col: str,
     ``key_col`` values, so one value carrying a corpus-dominant share of
     rows concentrates its bucket — salt such keys or rank per partition
     key instead (the per-group window ops above)."""
+    # ranking is inherently two-pass (count+sample, then bucket); pin the
+    # input ONCE so the passes don't re-execute upstream lineage (the
+    # object store spills, the recompute would not — round-2 advice item)
+    ds = ds.materialize()
     n = ds.count()
     if n == 0:
         return ds
@@ -1371,3 +1375,26 @@ def rank_orders(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"o_totalprice": "price"})
     out["rn"] = out["rn"].astype("int64")
     return _r(out[["o_orderkey", "price", "rn"]], ["price"])
+
+
+def dense_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """dense_rank() by composition: the DISTINCT key values (value-
+    cardinality-bounded, one ``groupby``) rank through
+    :func:`global_row_number`, and a hash join attaches each value's rank to
+    its rows — dense rank never needs row-level ranking at all."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    distinct = ds.groupby("o_totalprice").aggregate(Count(alias_name="_n"))
+    ranked = (global_row_number(distinct, "o_totalprice", "_n",
+                                descending=True, n_buckets=16)
+              .map_batches(lambda t: pa.table({"o_totalprice":
+                                               t["o_totalprice"],
+                                               "drk": t["rn"]}),
+                           batch_format="pyarrow"))
+    out = (ds.join(ranked, join_type="inner",
+                   num_partitions=join_partitions(cap=8),
+                   on=("o_totalprice",))
+           .to_pandas().rename(columns={"o_totalprice": "price"}))
+    out["drk"] = out["drk"].astype("int64")
+    out = (out[["o_orderkey", "price", "drk"]]
+           .sort_values("o_orderkey").reset_index(drop=True))
+    return _r(out, ["price"])
