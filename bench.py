@@ -133,6 +133,9 @@ def run_bench() -> dict:
     timed("minhash_dedup", lambda: textops.minhash_dedup(SF_DIR))
     timed("knn_brute_force", lambda: vector.knn_brute_force(SF_DIR))
     timed("embedding_near_dup", lambda: vector.embedding_near_dup(SF_DIR))
+    timed("tfidf_top_terms", lambda: textops.tfidf_top_terms(SF_DIR))
+    timed("fuzzy_name_pairs", lambda: textops.fuzzy_name_pairs(SF_DIR))
+    timed("rank_orders", lambda: relational.rank_orders(SF_DIR))
 
     total = round(sum(queries.values()), 3)
     out = {
