@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": R.rank_orders,
         "tfidf_top_terms": T.tfidf_top_terms,
         "dense_rank_orders": R.dense_rank_orders,
+        "split_assign_documents": T.split_assign_documents,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -644,6 +645,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY p_brand, key1, key2
+        """,
+        "split_assign_documents": """
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS bucket,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "dense_rank_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS price,

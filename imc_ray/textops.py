@@ -1024,3 +1024,29 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out["tf"] = out["tf"].astype("int64")
     return (out[["doc_id", "term", "tf", "score"]]
             .sort_values(["doc_id", "term"]).reset_index(drop=True))
+
+
+def split_assign_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) by
+    multiplicative integer hashing of the document id — the reproducible-
+    split primitive of a training-data pipeline: stable under re-runs,
+    re-partitioning and corpus growth (a doc's split never depends on other
+    rows), pure vectorized int64 arithmetic per batch, no shuffle at all.
+    The Knuth multiplier spreads sequential ids uniformly over 2^32; the
+    oracle reproduces the identical arithmetic in SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(2**32)
+        idx = np.where(h < np.uint64(int(0.8 * 2**32)), 0,
+                       np.where(h < np.uint64(int(0.9 * 2**32)), 1, 2))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bucket": pa.array(h.astype(np.int64)),
+            "split": pa.array(names[idx].tolist(), type=pa.string()),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
