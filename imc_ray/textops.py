@@ -884,18 +884,21 @@ def _levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
     A, la = codes[iu], lens[iu]
     B, lb = codes[ju], lens[ju]
     P, L = len(iu), codes.shape[1]
+    # uint8 DP cells (distances ≤ L+1 ≪ 255): 8× less memory traffic than
+    # int64 over the (pairs × L) working set — the loop is bandwidth-bound
     out = np.empty(P, dtype=np.int64)
-    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64), (P, L + 1)).copy()
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.uint8), (P, L + 1)).copy()
     done = la == 0
     out[done] = lb[done]
+    one = np.uint8(1)
     for i in range(1, L + 1):
-        cur = np.empty((P, L + 1), dtype=np.int64)
+        cur = np.empty((P, L + 1), dtype=np.uint8)
         cur[:, 0] = i
         ai = A[:, i - 1]
         for j in range(1, L + 1):
-            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cost = (ai != B[:, j - 1]).astype(np.uint8)
             cur[:, j] = np.minimum(
-                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                np.minimum(prev[:, j] + one, cur[:, j - 1] + one),
                 prev[:, j - 1] + cost)
         done = la == i
         if done.any():
@@ -925,43 +928,80 @@ def fuzzy_name_pairs(sf_dir: str, max_lev: int = 3) -> pd.DataFrame:
     the quadratic all-pairs step to one block (here |brand| ≈ corpus/25;
     in a web corpus the block key would be an LSH bucket or sorted-
     neighborhood window), the shuffle carries only (block, key, name) thin
-    rows, and each block's pair generation + DP runs vectorized inside one
-    ``map_groups`` task.  Oracle: DuckDB ``levenshtein``/``jaccard`` over a
-    blocked self-join."""
+    rows, and each block runs vocabulary-first: the O(L²) DP covers only
+    DISTINCT-name pairs (prefiltered by exact charset/length lower bounds),
+    and surviving name pairs expand to key pairs afterwards — quadratic
+    work scales with block VOCABULARY, not block rows (names repeat hard
+    in any real catalog/corpus: sf0.1 has 800 rows but ~120 distinct names
+    per brand).  Oracle: DuckDB ``levenshtein``/``jaccard`` over a blocked
+    self-join."""
     ds = read_table(sf_dir, "part",
                     columns=["p_partkey", "p_name", "p_brand"])
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("p_partkey")
-        keys = g["p_partkey"].to_numpy()
-        names = [s.encode("utf-8") for s in g["p_name"]]
         empty = pd.DataFrame({
             "p_brand": pd.Series(dtype="object"),
             "key1": pd.Series(dtype="int64"),
             "key2": pd.Series(dtype="int64"),
             "lev": pd.Series(dtype="int64"),
             "jac": pd.Series(dtype="float64")})
-        if len(names) < 2:
+        if len(g) < 2:
             return empty
+        uniq, inv = np.unique(g["p_name"].to_numpy(), return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        keys_by_name = g["p_partkey"].to_numpy().astype(np.int64)[order]
+        counts = np.bincount(inv, minlength=len(uniq))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        names = [s.encode("utf-8") for s in uniq]
         lens = np.array([len(b) for b in names], dtype=np.int64)
         codes = np.zeros((len(names), int(lens.max())), dtype=np.uint8)
         for k, b in enumerate(names):
             codes[k, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-        iu, ju = np.triu_indices(len(names), k=1)
-        lev = _levenshtein_pairs(codes, lens, iu, ju)
-        keep = lev <= max_lev
-        if not keep.any():
-            return empty
-        iu, ju, lev = iu[keep], ju[keep], lev[keep]
         masks = _charset_masks(names)
+        iu, ju = np.triu_indices(len(names), k=1)
+        # cheap exact LOWER BOUNDS kill most name pairs before the DP:
+        # ≤ max_lev edits can delete ≤ max_lev distinct characters from
+        # either side's character SET, and |len_a − len_b| ≤ lev always
+        cand = ((_POP8[masks[iu] & ~masks[ju]].sum(axis=1) <= max_lev)
+                & (_POP8[masks[ju] & ~masks[iu]].sum(axis=1) <= max_lev)
+                & (np.abs(lens[iu] - lens[ju]) <= max_lev))
+        iu, ju = iu[cand], ju[cand]
+        if len(iu):
+            lev = _levenshtein_pairs(codes, lens, iu, ju)
+            keep = lev <= max_lev
+            iu, ju, lev = iu[keep], ju[keep], lev[keep]
+        else:
+            lev = np.array([], dtype=np.int64)
         inter = _POP8[masks[iu] & masks[ju]].sum(axis=1)
         union = _POP8[masks[iu] | masks[ju]].sum(axis=1)
+        k1s, k2s, levs, jacs = [], [], [], []
+        # same-name pairs: lev 0 / jac 1.0, all key pairs within the name
+        for a in np.flatnonzero(counts >= 2):
+            ks = np.sort(keys_by_name[starts[a]:starts[a] + counts[a]])
+            i2, j2 = np.triu_indices(len(ks), k=1)
+            k1s.append(ks[i2])
+            k2s.append(ks[j2])
+            levs.append(np.zeros(len(i2), dtype=np.int64))
+            jacs.append(np.ones(len(i2)))
+        # cross-name pairs: full key cross product, ordered (min, max) —
+        # loop is over surviving VOCABULARY pairs; inner work is vectorized
+        for a, b, lv, it, un in zip(iu, ju, lev, inter, union):
+            ka = keys_by_name[starts[a]:starts[a] + counts[a]]
+            kb = keys_by_name[starts[b]:starts[b] + counts[b]]
+            c1 = np.repeat(ka, len(kb))
+            c2 = np.tile(kb, len(ka))
+            k1s.append(np.minimum(c1, c2))
+            k2s.append(np.maximum(c1, c2))
+            levs.append(np.full(len(c1), lv, dtype=np.int64))
+            jacs.append(np.full(len(c1), it / un))
+        if not k1s:
+            return empty
         return pd.DataFrame({
             "p_brand": g["p_brand"].iloc[0],
-            "key1": keys[iu].astype(np.int64),
-            "key2": keys[ju].astype(np.int64),
-            "lev": lev,
-            "jac": inter / union})
+            "key1": np.concatenate(k1s),
+            "key2": np.concatenate(k2s),
+            "lev": np.concatenate(levs),
+            "jac": np.concatenate(jacs)})
 
     out = (ds.groupby("p_brand").map_groups(pairs_fn, batch_format="pandas")
            .to_pandas())

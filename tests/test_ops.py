@@ -793,3 +793,47 @@ class TestRound3Relational:
             got = (global_row_number(ds, "k", "tid", n_buckets=nb)
                    .to_pandas().sort_values("tid").reset_index(drop=True))
             assert got["rn"].tolist() == want["rn"].tolist(), nb
+
+    def test_fuzzy_pairs_vocab_expansion_equals_bruteforce(self, ray_session):
+        """Vocabulary-first pair generation (DP over distinct names, key
+        expansion after) must equal the naive all-row-pairs double loop,
+        including duplicate-name groups (lev-0 pairs)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from imc_ray import textops
+
+        def ref_lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        names = ["red gear", "red bear", "red gear", "blue bolt", "red gea",
+                 "red gear", "tan bolt", "blue bolt"]
+        df = pd.DataFrame({"p_partkey": np.arange(len(names), dtype=np.int64),
+                           "p_name": names, "p_brand": "B#1"})
+        import os, tempfile
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "part.parquet"))
+            out = textops.fuzzy_name_pairs(d)
+        want = []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                lv = ref_lev(names[i], names[j])
+                if lv <= 3:
+                    a, b = set(names[i].encode()), set(names[j].encode())
+                    want.append(("B#1", i, j, lv, len(a & b) / len(a | b)))
+        want = (pd.DataFrame(want, columns=["p_brand", "key1", "key2",
+                                            "lev", "jac"])
+                .sort_values(["key1", "key2"]).reset_index(drop=True))
+        out = (out.sort_values(["key1", "key2"]).reset_index(drop=True)
+               .astype({"key1": "int64", "key2": "int64", "lev": "int64"}))
+        pd.testing.assert_frame_equal(
+            out[["key1", "key2", "lev", "jac"]],
+            want[["key1", "key2", "lev", "jac"]])
