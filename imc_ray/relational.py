@@ -303,8 +303,15 @@ def semi_filter(ds: ray.data.Dataset, col: str,
     (no shuffle of either side).  Above: distinct keys stay a Dataset
     (groupby — never ``unique()``, which materializes on the driver) and the
     filter is an ordinary hash join — inner for semi, left-outer + null-marker
-    drop for anti.  Identical outputs either way (route-equality test)."""
-    distinct = keys_ds.groupby(key_col).aggregate(Count(alias_name="_one"))
+    drop for anti.  Identical outputs either way (route-equality test).
+
+    Contract: keys are non-null integers, and rows of ``ds`` with a null
+    ``col`` never pass either filter (NOT-IN-style null handling on both
+    routes)."""
+    # pin the distinct set ONCE: count() would otherwise execute the whole
+    # keys_ds lineage and the broadcast/join consumption would re-execute it
+    distinct = (keys_ds.groupby(key_col).aggregate(Count(alias_name="_one"))
+                .materialize())
     if distinct.count() <= broadcast_max_keys:
         keys = pa.array(sorted(int(k) for k in distinct.unique(key_col)),
                         type=pa.int64())
@@ -323,7 +330,11 @@ def semi_filter(ds: ray.data.Dataset, col: str,
 
     def strip(t: pa.Table) -> pa.Table:
         if not keep_in:
-            t = t.filter(pc.is_null(t["_one"]))
+            # require a valid key too: a null-key row joins nothing, but the
+            # broadcast route drops it (is_in → null mask), so drop it here
+            # as well to keep the two routes identical
+            t = t.filter(pc.and_(pc.is_null(t["_one"]),
+                                 pc.is_valid(t[col])))
         return t.drop_columns([c for c in drop if c in t.column_names])
 
     return joined.map_batches(strip, batch_format="pyarrow")
@@ -762,26 +773,36 @@ def pivot_user_events(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("user_id").reset_index(drop=True)
 
 
-def rollup_pricing(sf_dir: str) -> pd.DataFrame:
-    """ROLLUP / grouping-sets aggregate over (l_returnflag, l_linestatus):
-    finest level + per-flag subtotals + grand total, subtotal keys shown as
-    'ALL'.  One distributed groupby produces the finest aggregate (a handful
-    of rows); the coarser levels derive from THAT on the driver — the
-    scale-correct rollup shape (never a second pass over the corpus)."""
-    finest = (read_table(sf_dir, "lineitem",
-                         columns=["l_returnflag", "l_linestatus",
-                                  "l_quantity"])
-              .groupby(["l_returnflag", "l_linestatus"])
-              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                         Count(alias_name="n"))
-              .to_pandas())
-    lvl1 = (finest.groupby("l_returnflag", as_index=False)
-            .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
-    lvl1["l_linestatus"] = "ALL"
-    lvl2 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
-                         "sum_qty": [finest["sum_qty"].sum()],
-                         "n": [finest["n"].sum()]})
-    out = pd.concat([finest, lvl1, lvl2], ignore_index=True)
+def _pricing_finest(sf_dir: str) -> pd.DataFrame:
+    """Finest (flag, status) aggregate — the ONE distributed pass that both
+    ROLLUP and CUBE derive every coarser grouping set from (a grouping set
+    never needs a second pass over the corpus)."""
+    return (read_table(sf_dir, "lineitem",
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_quantity"])
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n"))
+            .to_pandas())
+
+
+def _pricing_subtotal(finest: pd.DataFrame, by: str | None) -> pd.DataFrame:
+    """One grouping set derived from the finest frame: subtotal over ``by``
+    (the other key shown as 'ALL'), or the grand total when ``by`` is None."""
+    if by is None:
+        return pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                             "sum_qty": [finest["sum_qty"].sum()],
+                             "n": [finest["n"].sum()]})
+    sub = (finest.groupby(by, as_index=False)
+           .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+    other = ("l_linestatus" if by == "l_returnflag" else "l_returnflag")
+    sub[other] = "ALL"
+    return sub
+
+
+def _pricing_sets(finest: pd.DataFrame, sets) -> pd.DataFrame:
+    out = pd.concat([finest, *(_pricing_subtotal(finest, b) for b in sets)],
+                    ignore_index=True)
     out["n"] = out["n"].astype("int64")
     out = (out[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
            .sort_values(["l_returnflag", "l_linestatus"])
@@ -789,14 +810,18 @@ def rollup_pricing(sf_dir: str) -> pd.DataFrame:
     return _r(out, ["sum_qty"])
 
 
-def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
-    """Statistical aggregates: Pearson correlation, sample covariance and
-    sample stddevs of (l_quantity, l_extendedprice) — one row.  Per-batch
-    moment partials (n, Σx, Σy, Σx², Σy², Σxy) reduce through a global Sum
-    aggregate; the closed forms evaluate on the driver over six numbers.
-    covar is rounded to 0 dp (the sum-of-products differs from DuckDB's
-    streaming algorithm by ~1e-2 at this magnitude); corr is scale-free so
-    6 dp is safe."""
+def rollup_pricing(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping-sets aggregate over (l_returnflag, l_linestatus):
+    finest level + per-flag subtotals + grand total, subtotal keys shown as
+    'ALL'."""
+    return _pricing_sets(_pricing_finest(sf_dir), ["l_returnflag", None])
+
+
+def _qty_price_moments(sf_dir: str) -> dict:
+    """Streaming moment partials (n, Σx, Σy, Σx², Σy², Σxy) over
+    (l_quantity, l_extendedprice) — one distributed pass shared by the
+    correlation and regression aggregates; every closed form evaluates on
+    the driver over these six numbers."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_quantity", "l_extendedprice"])
 
@@ -810,10 +835,19 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
             "sxy": [float((x * y).sum())],
         })
 
-    m = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+    return ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
         Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
         Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Statistical aggregates: Pearson correlation, sample covariance and
+    sample stddevs of (l_quantity, l_extendedprice) — one row off
+    :func:`_qty_price_moments`.  covar is rounded to 0 dp (the
+    sum-of-products differs from DuckDB's streaming algorithm by ~1e-2 at
+    this magnitude); corr is scale-free so 6 dp is safe."""
+    m = _qty_price_moments(sf_dir)
     n = float(m["n"])
     cxy = (m["sxy"] - m["sx"] * m["sy"] / n) / (n - 1.0)
     vx = (m["sxx"] - m["sx"] ** 2 / n) / (n - 1.0)
@@ -1095,59 +1129,20 @@ def order_status_matrix(sf_dir: str) -> pd.DataFrame:
 
 def cube_pricing(sf_dir: str) -> pd.DataFrame:
     """GROUP BY CUBE over (l_returnflag, l_linestatus): all four grouping
-    sets — finest, per-flag, per-status, grand total — with subtotal keys
-    shown as 'ALL'.  Like :func:`rollup_pricing`, ONE distributed groupby
-    produces the finest aggregate (≤ |flags|×|statuses| rows) and every
-    coarser set derives from that tiny frame on the driver; a cube never
-    needs a second pass over the corpus."""
-    finest = (read_table(sf_dir, "lineitem",
-                         columns=["l_returnflag", "l_linestatus",
-                                  "l_quantity"])
-              .groupby(["l_returnflag", "l_linestatus"])
-              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                         Count(alias_name="n"))
-              .to_pandas())
-    by_flag = (finest.groupby("l_returnflag", as_index=False)
-               .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
-    by_flag["l_linestatus"] = "ALL"
-    by_status = (finest.groupby("l_linestatus", as_index=False)
-                 .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
-    by_status["l_returnflag"] = "ALL"
-    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
-                          "sum_qty": [finest["sum_qty"].sum()],
-                          "n": [finest["n"].sum()]})
-    out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)
-    out["n"] = out["n"].astype("int64")
-    out = (out[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
-           .sort_values(["l_returnflag", "l_linestatus"])
-           .reset_index(drop=True))
-    return _r(out, ["sum_qty"])
+    sets — finest, per-flag, per-status, grand total — derived from the one
+    distributed finest aggregate shared with :func:`rollup_pricing`."""
+    return _pricing_sets(_pricing_finest(sf_dir),
+                         ["l_returnflag", "l_linestatus", None])
 
 
 def regression_price_qty(sf_dir: str) -> pd.DataFrame:
     """Linear-regression aggregates of l_extendedprice on l_quantity:
     population covariance, OLS slope and intercept — one row from the same
-    six streaming moment partials as :func:`corr_quantity_price` (per-batch
-    Σ/Σ²/Σxy reduced through a global Sum).  Slope/intercept are rounded to
+    streaming moment partials as :func:`corr_quantity_price`
+    (:func:`_qty_price_moments`).  Slope/intercept are rounded to
     3 dp on both sides (summation order vs DuckDB's streaming update differs
     at ~1e-6 relative); covar_pop to 0 dp (absolute magnitude ~1e5)."""
-    ds = read_table(sf_dir, "lineitem",
-                    columns=["l_quantity", "l_extendedprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
-        y = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-             .astype(np.float64))
-        return pa.table({
-            "n": pa.array([len(x)], type=pa.int64()),
-            "sx": [float(x.sum())], "sy": [float(y.sum())],
-            "sxx": [float((x * x).sum())], "sxy": [float((x * y).sum())],
-        })
-
-    m = ds.map_batches(partial, batch_format="pyarrow").aggregate(
-        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-        Sum("sxy", alias_name="sxy"))
+    m = _qty_price_moments(sf_dir)
     n = float(m["n"])
     covp = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
     varp = m["sxx"] / n - (m["sx"] / n) ** 2
@@ -1320,7 +1315,14 @@ def global_row_number(ds: ray.data.Dataset, key_col: str, tie_col: str,
     ds = ds.materialize()
     n = ds.count()
     if n == 0:
-        return ds
+        # schema-stable empty result (input types + int64 rn), so callers'
+        # column selections and casts still work on an empty corpus
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return ray.data.from_arrow(pa.table({
+            tie_col: pa.array([], type=types[tie_col]),
+            key_col: pa.array([], type=types[key_col]),
+            "rn": pa.array([], type=pa.int64())}))
     if n_buckets is None:
         n_buckets = min(1024, max(32, n // 2_000_000))
     sgn = -1.0 if descending else 1.0

@@ -885,7 +885,12 @@ def _levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
     B, lb = codes[ju], lens[ju]
     P, L = len(iu), codes.shape[1]
     # uint8 DP cells (distances ≤ L+1 ≪ 255): 8× less memory traffic than
-    # int64 over the (pairs × L) working set — the loop is bandwidth-bound
+    # int64 over the (pairs × L) working set — the loop is bandwidth-bound.
+    # Enforce the small-L contract loudly: at L ≥ 255 the uint8 row seeds
+    # would wrap silently on numpy 1.x
+    if L >= 255:
+        raise ValueError(f"_levenshtein_pairs: padded length {L} >= 255; "
+                         "block strings must stay short (blocking contract)")
     out = np.empty(P, dtype=np.int64)
     prev = np.broadcast_to(np.arange(L + 1, dtype=np.uint8), (P, L + 1)).copy()
     done = la == 0
@@ -910,7 +915,11 @@ def _levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
 def _charset_masks(byte_rows: list[bytes]) -> np.ndarray:
     """256-bit character-set bitmask per string (32 bytes) for exact
     set-Jaccard via popcount — the same character-SET semantics as DuckDB's
-    ``jaccard()`` (repeats collapse; the similarity is |A∩B| / |A∪B|)."""
+    ``jaccard()`` (repeats collapse; the similarity is |A∩B| / |A∪B|).
+
+    Byte-level: masks are over UTF-8 BYTES, which equals DuckDB's
+    character-level result for ASCII input (the corpus contract here);
+    multi-byte characters would count per byte and diverge."""
     masks = np.zeros((len(byte_rows), 32), dtype=np.uint8)
     for k, b in enumerate(byte_rows):
         arr = np.frombuffer(b, dtype=np.uint8)
