@@ -305,9 +305,10 @@ def semi_filter(ds: ray.data.Dataset, col: str,
     filter is an ordinary hash join — inner for semi, left-outer + null-marker
     drop for anti.  Identical outputs either way (route-equality test).
 
-    Contract: keys are non-null integers, and rows of ``ds`` with a null
-    ``col`` never pass either filter (NOT-IN-style null handling on both
-    routes)."""
+    Contract: keys are non-null integers.  Rows of ``ds`` with a null
+    ``col`` match nothing — dropped by semi, KEPT by anti (NOT-EXISTS
+    semantics; Arrow's ``is_in`` evaluates null as not-in, matching the
+    left-outer null-marker route — asserted by the null-parity test)."""
     # pin the distinct set ONCE: count() would otherwise execute the whole
     # keys_ds lineage and the broadcast/join consumption would re-execute it
     distinct = (keys_ds.groupby(key_col).aggregate(Count(alias_name="_one"))
@@ -330,11 +331,7 @@ def semi_filter(ds: ray.data.Dataset, col: str,
 
     def strip(t: pa.Table) -> pa.Table:
         if not keep_in:
-            # require a valid key too: a null-key row joins nothing, but the
-            # broadcast route drops it (is_in → null mask), so drop it here
-            # as well to keep the two routes identical
-            t = t.filter(pc.and_(pc.is_null(t["_one"]),
-                                 pc.is_valid(t[col])))
+            t = t.filter(pc.is_null(t["_one"]))
         return t.drop_columns([c for c in drop if c in t.column_names])
 
     return joined.map_batches(strip, batch_format="pyarrow")

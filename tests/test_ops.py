@@ -837,3 +837,26 @@ class TestRound3Relational:
         pd.testing.assert_frame_equal(
             out[["key1", "key2", "lev", "jac"]],
             want[["key1", "key2", "lev", "jac"]])
+
+    def test_semi_filter_null_keys_route_parity(self, ray_session):
+        """NOT-EXISTS null semantics, identical on both routes: a null
+        filter column matches nothing — dropped by semi, kept by anti
+        (Arrow is_in evaluates null as not-in, matching the left-outer
+        null-marker route)."""
+        import pandas as pd
+        import ray.data
+
+        from imc_ray.relational import semi_filter
+
+        df = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                           "v": ["a", "b", "c", "d"]})
+        keys = pd.DataFrame({"kk": pd.array([2, 9], dtype="Int64")})
+        for bmax in (100, 0):   # broadcast route, join route
+            ds = ray.data.from_pandas(df)
+            kds = ray.data.from_pandas(keys)
+            semi = (semi_filter(ds, "k", kds, "kk", True, bmax)
+                    .to_pandas().sort_values("v")["v"].tolist())
+            anti = (semi_filter(ds, "k", kds, "kk", False, bmax)
+                    .to_pandas().sort_values("v")["v"].tolist())
+            assert semi == ["b"], (bmax, semi)
+            assert anti == ["a", "c", "d"], (bmax, anti)
