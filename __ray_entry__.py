@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "dense_rank_orders": R.dense_rank_orders,
         "split_assign_documents": T.split_assign_documents,
+        "percent_rank_orders": R.percent_rank_orders,
+        "user_first_last_value": R.user_first_last_value,
+        "weighted_avg_discount": R.weighted_avg_discount,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -645,6 +648,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY p_brand, key1, key2
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey,
+                   percent_rank() OVER (ORDER BY o_totalprice DESC,
+                                        o_orderkey) AS pr
+            FROM orders ORDER BY o_orderkey
+        """,
+        "user_first_last_value": """
+            SELECT DISTINCT user_id,
+                   first_value(value) OVER w AS first_val,
+                   last_value(value)  OVER w AS last_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+            ORDER BY user_id
+        """,
+        "weighted_avg_discount": """
+            SELECT l_returnflag,
+                   round(sum(l_discount * l_extendedprice)
+                         / sum(l_extendedprice), 6) AS w_avg_discount
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "split_assign_documents": """
             SELECT doc_id,

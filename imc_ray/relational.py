@@ -1397,3 +1397,58 @@ def dense_rank_orders(sf_dir: str) -> pd.DataFrame:
     out = (out[["o_orderkey", "price", "drk"]]
            .sort_values("o_orderkey").reset_index(drop=True))
     return _r(out, ["price"])
+
+
+def percent_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """percent_rank window over a deterministic total order (price desc,
+    key): (rn − 1)/(N − 1) off :func:`global_row_number` — the composite
+    order key makes rank ≡ row_number, so the bucketed rank gives the exact
+    SQL value with no tie bookkeeping."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked = (global_row_number(ds, "o_totalprice", "o_orderkey",
+                                descending=True, n_buckets=32)
+              .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    n = len(ranked)
+    ranked["pr"] = (ranked["rn"].astype(np.float64) - 1.0) / (n - 1.0)
+    return ranked[["o_orderkey", "pr"]]
+
+
+def user_first_last_value(sf_dir: str) -> pd.DataFrame:
+    """first_value / last_value window frame per user: the value of each
+    user's first and last event (ordered by ts, event_id) — one keyed
+    shuffle, per-group head/tail (group size = per-user event count)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts", "value"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "first_val": [g["value"].iloc[0]],
+                             "last_val": [g["value"].iloc[-1]]})
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def weighted_avg_discount(sf_dir: str) -> pd.DataFrame:
+    """Weighted average (a ratio of two grouped sums — the aggregate SQL's
+    AVG cannot express): mean discount weighted by extended price per
+    return flag, from per-batch (Σ d·p, Σ p) partials."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_discount", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].astype(np.float64)
+        return (df.assign(dp=df["l_discount"].astype(np.float64) * p, p=p)
+                .groupby("l_returnflag", as_index=False)
+                .agg(dp=("dp", "sum"), p=("p", "sum")))
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("dp", alias_name="dp"), Sum("p", alias_name="p"))
+           .to_pandas())
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "w_avg_discount": round_half_away(agg["dp"] / agg["p"], 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
