@@ -237,7 +237,7 @@ def write_map(result: dict, out_dir: str) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .schemas import POLYGONS
+    from .schemas import polygons_table
 
     paths = {}
     os.makedirs(out_dir, exist_ok=True)
@@ -260,16 +260,7 @@ def write_map(result: dict, out_dir: str) -> dict:
         result["labels"].write_parquet(p)
     paths["labels"] = p
     polys = result["polygons"]
-    rings = [[{"x": float(pt["x"]), "y": float(pt["y"])} for pt in r]
-             for r in polys["ring"]] if len(polys) else []
-    ptab = pa.table(
-        {
-            "cluster_id": pa.array(
-                polys["cluster_id"].astype("int64") if len(polys) else [],
-                type=pa.int64()),
-            "ring": pa.array(rings, type=POLYGONS.field("ring").type),
-        }
-    )
+    ptab = polygons_table(polys)
     p = os.path.join(out_dir, "polygons.parquet")
     pq.write_table(ptab, p)
     paths["polygons"] = p

@@ -755,18 +755,22 @@ def pivot_user_events(sf_dir: str) -> pd.DataFrame:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ct = pd.crosstab(df["user_id"], df["event_type"])
+        # n_total counts ALL rows (the oracle's count(*)), taken before the
+        # reindex drops any event type outside the pivoted column domain
+        total = ct.sum(axis=1)
         ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
         ct.columns = [f"n_{c}" for c in _EVENT_TYPES]
+        ct["n_total"] = total
         return ct.reset_index()
 
     agg = (ds.map_batches(partial, batch_format="pandas")
            .groupby("user_id")
            .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}")
-                        for c in _EVENT_TYPES])
+                        for c in _EVENT_TYPES],
+                      Sum("n_total", alias_name="n_total"))
            .to_pandas())
-    for c in _EVENT_TYPES:
-        agg[f"n_{c}"] = agg[f"n_{c}"].astype("int64")
-    agg["n_total"] = sum(agg[f"n_{c}"] for c in _EVENT_TYPES)
+    for c in [f"n_{c}" for c in _EVENT_TYPES] + ["n_total"]:
+        agg[c] = agg[c].astype("int64")
     return agg.sort_values("user_id").reset_index(drop=True)
 
 
@@ -1110,10 +1114,12 @@ def order_status_matrix(sf_dir: str) -> pd.DataFrame:
     construction)."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderpriority", "o_orderstatus"])
-    prios = sorted(ds.unique("o_orderpriority"))
-    stats = sorted(ds.unique("o_orderstatus"))
     counts = (ds.groupby(["o_orderpriority", "o_orderstatus"])
               .aggregate(Count(alias_name="n")).to_pandas())
+    # every row contributes to the grouped count, so both distinct key sets
+    # fall out of it for free — one pass over orders, not three
+    prios = sorted(counts["o_orderpriority"].unique())
+    stats = sorted(counts["o_orderstatus"].unique())
     full = pd.MultiIndex.from_product(
         [prios, stats], names=["o_orderpriority", "o_orderstatus"]
     ).to_frame(index=False)

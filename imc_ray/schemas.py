@@ -92,3 +92,18 @@ TILE_CLUSTER = pa.schema(
         ("frac", pa.float64()),
     ]
 )
+
+
+def polygons_table(polygons_df) -> pa.Table:
+    """POLYGONS-schema Arrow table from the driver polygons frame
+    (cluster_id + [{'x','y'}] rings) — the ONE conversion shared by the
+    co-partition spatial join and the map writer, so the ring struct layout
+    cannot drift between them."""
+    rings = ([[{"x": float(p["x"]), "y": float(p["y"])} for p in r]
+              for r in polygons_df["ring"]] if len(polygons_df) else [])
+    return pa.table({
+        "cluster_id": pa.array(
+            polygons_df["cluster_id"].astype("int64")
+            if len(polygons_df) else [], type=pa.int64()),
+        "ring": pa.array(rings, type=POLYGONS.field("ring").type),
+    })

@@ -1508,17 +1508,10 @@ def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,
     if broadcast_max_polys is None:
         broadcast_max_polys = _SPATIAL_BROADCAST_MAX_POLYS
     if len(polygons_df) > broadcast_max_polys:
-        from .schemas import POLYGONS
+        from .schemas import polygons_table
 
-        rings = [[{"x": float(p["x"]), "y": float(p["y"])} for p in r]
-                 for r in polygons_df["ring"]]
-        ptab = pa.table({
-            "cluster_id": pa.array(
-                polygons_df["cluster_id"].astype("int64"), type=pa.int64()),
-            "ring": pa.array(rings, type=POLYGONS.field("ring").type),
-        })
         return spatial_join_copartition(
-            tiles, ray.data.from_arrow(ptab), cfg)
+            tiles, ray.data.from_arrow(polygons_table(polygons_df)), cfg)
     polys = []
     for _, r in polygons_df.iterrows():
         ring = np.asarray([[p["x"], p["y"]] for p in r["ring"]], dtype=np.float64)

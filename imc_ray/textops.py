@@ -602,16 +602,20 @@ def near_dup_exact_groups(sf_dir: str) -> pd.DataFrame:
     shingle→minhash→band groupby→candidates→Jaccard verify→distributed CC,
     then one group row per component — (doc_id = min member, n_copies).
 
-    Word-3-gram shingle-set Jaccard of 1.0 ⟺ identical text for natural-
-    language corpora (identical text always gives 1.0; distinct texts with
-    equal shingle SETS would require a pathological permutation), so this
-    reduces to ``SELECT min(doc_id), count(*) GROUP BY text`` — the DuckDB
-    hash oracle that puts the whole LSH→verify→CC machinery under a driver
-    value check (round-2 review gap 1).  Non-duplicated docs are their own
-    group with n_copies = 1."""
+    Shingle-SET Jaccard 1.0 does NOT imply identical text (repetitions
+    collapse: 'p q r p q r' and 'p q r p q r p q r' share one shingle set —
+    round-3 review), so the LSH grouping is refined by an exact content
+    hash: identical texts ALWAYS share an LSH group, hence grouping by
+    (lsh_group, content_hash) equals ``GROUP BY text`` globally — the
+    DuckDB hash oracle that puts the whole LSH→verify→CC machinery under a
+    driver value check.  Non-duplicated docs are their own group with
+    n_copies = 1."""
     groups = minhash_dedup(sf_dir, jaccard_threshold=1.0)
-    out = (groups.groupby("dup_group").size().reset_index(name="n_copies")
-           .rename(columns={"dup_group": "doc_id"}))
+    fp = fingerprint_documents(sf_dir)[["doc_id", "fp"]]
+    m = groups.merge(fp, on="doc_id")
+    out = (m.groupby(["dup_group", "fp"], as_index=False)
+           .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+           [["doc_id", "n_copies"]])
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_copies"] = out["n_copies"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -764,21 +768,24 @@ def chunk_dup_stats(sf_dir: str, chunk_tokens: int = 10) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunks(t: pa.Table) -> pa.Table:
-        doc_ids, h1s, h2s = [], [], []
+        # chunk splitting stays a per-doc loop (string work), but ALL
+        # chunks of the batch hash through two hash_pandas_object calls —
+        # the first cut made two calls PER DOC (round-3 review; the same
+        # per-row-call overhead MinHasher documents as ~10×)
+        doc_ids, all_parts = [], []
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             toks = s.split(" ")
             parts = [" ".join(toks[i:i + chunk_tokens])
                      for i in range(0, len(toks), chunk_tokens)]
             doc_ids.extend([did] * len(parts))
-            ser = pd.Series(parts, dtype=object)
-            h1s.append(pd.util.hash_pandas_object(
-                ser, index=False, hash_key="imcray-chunk-h1-").to_numpy()
-                .view(np.int64))
-            h2s.append(pd.util.hash_pandas_object(
-                ser, index=False, hash_key="imcray-chunk-h2-").to_numpy()
-                .view(np.int64))
-        h1 = np.concatenate(h1s) if h1s else np.array([], dtype=np.int64)
-        h2 = np.concatenate(h2s) if h2s else np.array([], dtype=np.int64)
+            all_parts.extend(parts)
+        ser = pd.Series(all_parts, dtype=object)
+        h1 = (pd.util.hash_pandas_object(
+            ser, index=False, hash_key="imcray-chunk-h1-").to_numpy()
+            .view(np.int64))
+        h2 = (pd.util.hash_pandas_object(
+            ser, index=False, hash_key="imcray-chunk-h2-").to_numpy()
+            .view(np.int64))
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "h1": pa.array(h1), "h2": pa.array(h2),

@@ -35,21 +35,36 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
 
 def head_by_vec_id(ds, n: int) -> pd.DataFrame:
     """Deterministic head: the first ``n`` rows by vec_id (unique ids),
-    WITHOUT a global sort — per-batch partial min-n + a tiny driver merge
-    (the relational partial_topk pattern).  Replaces
-    ``ds.sort("vec_id").limit(n)``, which range-shuffles the entire
-    embeddings table to take a constant-size head (round-2 review item 3);
-    here only ≤ n rows per batch leave the tasks and no AllToAll Sort
-    operator appears in the plan."""
+    WITHOUT a global sort — replaces ``ds.sort("vec_id").limit(n)``, which
+    range-shuffles the entire table for a constant-size head (round-2
+    review item 3).  Round-3 review: the first cut merged ≤ n FULL rows per
+    block on the driver, i.e. O(n × num_blocks) embedding payloads — at
+    10^5 blocks that is a corpus-proportional driver frame.  Now the
+    partial min-n carries THIN vec_id rows only, a repartition level caps
+    the driver merge at ≤ 32·n ids, and the ≤ n winning payload rows come
+    back through one broadcast ``is_in`` fetch (the q3 key-fetch pattern).
+    Input should be a cheap re-readable source (the id pass is
+    column-pruned; the fetch pass streams)."""
 
-    def partial(t: pa.Table) -> pa.Table:
+    def partial_ids(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].to_numpy()
         k = min(n, len(vid))
         order = np.argsort(vid, kind="stable")[:k]
-        return t.take(pa.array(order, type=pa.int64()))
+        return pa.table({"vec_id": pa.array(vid[order], type=pa.int64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return (parts.sort_values("vec_id", kind="stable").head(n)
+    ids = (ds.select_columns(["vec_id"])
+           .map_batches(partial_ids, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(partial_ids, batch_format="pyarrow")
+           .to_pandas())
+    head_ids = ids.sort_values("vec_id", kind="stable").head(n)
+    keep_ref = ray.put(pa.array(sorted(int(v) for v in head_ids["vec_id"]),
+                                type=pa.int64()))
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    value_set=ray.get(keep_ref))),
+        batch_format="pyarrow").to_pandas()
+    return (rows.sort_values("vec_id", kind="stable").head(n)
             .reset_index(drop=True))
 
 
@@ -582,32 +597,25 @@ def embedding_exact_dup_groups(sf_dir: str) -> pd.DataFrame:
 
 def explode_embeddings(sf_dir: str, max_vecs: int = 50) -> pd.DataFrame:
     """List explode (unnest WITH ORDINALITY): the first ``max_vecs`` vectors
-    by vec_id flatten to one row per (vec_id, position, value).  The flatten
-    is zero-copy off the Arrow list buffers — values come straight from the
-    child array, row ids via ``np.repeat`` over the list lengths; no Python
-    loop touches elements."""
+    by vec_id flatten to one row per (vec_id, position, value).
+    ``head_by_vec_id`` already delivers those rows (payload included) to
+    the driver, so the flatten runs right there over ≤ max_vecs rows —
+    a second is_in-filtered scan of the embeddings table (the first cut)
+    would re-read the whole corpus to rebuild rows already in hand
+    (round-3 review).  Row ids via ``np.repeat`` over the list lengths;
+    no Python loop touches elements."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     head = head_by_vec_id(ds, max_vecs)
-    keep = pa.array(head["vec_id"].to_numpy(), type=pa.int64())
-    keep_ref = ray.put(keep)
-
-    def explode(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["vec_id"], value_set=ray.get(keep_ref)))
-        col = t["embedding"].combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-        vid = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), lens)
-        pos = np.concatenate([np.arange(1, n + 1, dtype=np.int64)
-                              for n in lens]) if len(lens) else \
-            np.array([], dtype=np.int64)
-        vals = col.flatten().to_numpy(zero_copy_only=False)
-        return pa.table({
-            "vec_id": pa.array(vid, type=pa.int64()),
-            "pos": pa.array(pos, type=pa.int64()),
-            "val": pa.array(round_half_away(vals.astype(np.float64), 6)),
-        })
-
-    out = (ds.map_batches(explode, batch_format="pyarrow").to_pandas()
-           .sort_values(["vec_id", "pos"]).reset_index(drop=True))
-    return out
+    embs = [np.asarray(e, dtype=np.float64) for e in head["embedding"]]
+    lens = np.array([len(e) for e in embs], dtype=np.int64)
+    vid = np.repeat(head["vec_id"].to_numpy().astype(np.int64), lens)
+    pos = (np.concatenate([np.arange(1, n + 1, dtype=np.int64)
+                           for n in lens]) if len(lens)
+           else np.array([], dtype=np.int64))
+    vals = (np.concatenate(embs) if embs
+            else np.array([], dtype=np.float64))
+    out = pd.DataFrame({
+        "vec_id": vid, "pos": pos,
+        "val": round_half_away(vals, 6),
+    })
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)

@@ -45,17 +45,22 @@ class TestDedupFamily:
         # plant: 21/22 copy 0, 23 copies 5; 24 is a NEAR dup of 0 (must NOT
         # group at threshold 1.0)
         texts += [texts[0], texts[0], texts[5], texts[0] + " extra"]
+        # round-3 review counterexample: cyclic repetitions share one
+        # shingle SET (Jaccard 1.0) but are DIFFERENT texts — the exact
+        # content-hash refine must keep them separate groups
+        texts += ["p q r p q r", "p q r p q r p q r"]
         ids = list(range(len(texts)))
         pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                                  "text": pa.array(texts, type=pa.string())}),
                        str(tmp_path / "documents.parquet"))
         out = textops.near_dup_exact_groups(str(tmp_path))
         got = dict(zip(out["doc_id"], out["n_copies"]))
-        want = {i: 1 for i in range(24)}
+        want = {i: 1 for i in range(26)}
         want[0] = 3          # 0, 20, 21
         want[5] = 2          # 5, 22
         del want[20], want[21], want[22]
         want[23] = 1         # near dup stays its own group
+        # 24/25: same shingle set, different text → separate groups
         assert got == want
 
     def test_simhash_similar_texts_close(self, ray_session):
