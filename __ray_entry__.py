@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt_price": R.skew_kurt_price,
         "entropy_by_event_type": R.entropy_by_event_type,
         "orders_above_customer_avg": R.orders_above_customer_avg,
+        "argmax_order": R.argmax_order,
+        "moving_avg_user_value": R.moving_avg_user_value,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -697,6 +699,19 @@ def oracle_sql() -> dict[str, str]:
             FROM o JOIN g USING (o_custkey)
             GROUP BY g.o_custkey, g.n_orders
             ORDER BY g.o_custkey
+        """,
+        "argmax_order": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 1
+        """,
+        "moving_avg_user_value": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS mov_avg
+            FROM events ORDER BY event_id
         """,
         "split_assign_documents": """
             SELECT doc_id,

@@ -1563,3 +1563,46 @@ def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
            .groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
            .to_pandas())
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def argmax_order(sf_dir: str) -> pd.DataFrame:
+    """Distributed arg-max aggregate (DuckDB ``max_by`` shape): the single
+    most expensive order, ties broken by highest orderkey so the answer is
+    deterministic in both engines.  Per-batch argmax partial (one row per
+    batch) + a tiny driver reduce — no sort, no shuffle."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                             "o_totalprice": pa.array([], type=pa.float64())})
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((k, p))[-1]  # max price, then max key
+        return t.take([int(best)])
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())  # ≤ one row per block — tiny
+    best = cand.sort_values(["o_totalprice", "o_orderkey"],
+                            kind="stable").iloc[-1:]
+    out = best.reset_index(drop=True)[["o_orderkey", "o_totalprice"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return _r(out, ["o_totalprice"])
+
+
+def moving_avg_user_value(sf_dir: str) -> pd.DataFrame:
+    """Rows-frame windowed aggregate: per-user moving average of ``value``
+    over the current + 2 preceding events in (ts, event_id) order (the
+    ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` frame).  Per-user groups
+    (bounded), vectorized pandas rolling inside ``map_groups``."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["mov_avg"] = g["value"].rolling(3, min_periods=1).mean()
+        return g[["event_id", "mov_avg"]]
+
+    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return _r(out, ["mov_avg"], 6)
