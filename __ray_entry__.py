@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": R.orders_above_customer_avg,
         "argmax_order": R.argmax_order,
         "moving_avg_user_value": R.moving_avg_user_value,
+        "cume_dist_orders": R.cume_dist_orders,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
@@ -712,6 +713,12 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                        AS mov_avg
             FROM events ORDER BY event_id
+        """,
+        "cume_dist_orders": """
+            SELECT o_orderkey,
+                   cume_dist() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                       AS cd
+            FROM orders ORDER BY o_orderkey
         """,
         "split_assign_documents": """
             SELECT doc_id,

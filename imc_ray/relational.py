@@ -1419,6 +1419,20 @@ def percent_rank_orders(sf_dir: str) -> pd.DataFrame:
     return ranked[["o_orderkey", "pr"]]
 
 
+def cume_dist_orders(sf_dir: str) -> pd.DataFrame:
+    """cume_dist window over the same deterministic total order as
+    :func:`percent_rank_orders`: with the composite (price desc, key) order
+    there are no ties, so cume_dist ≡ rn/N — exact off the bucketed global
+    rank, identical float in both engines (same integer ratio)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked = (global_row_number(ds, "o_totalprice", "o_orderkey",
+                                descending=True, n_buckets=32)
+              .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    n = len(ranked)
+    ranked["cd"] = ranked["rn"].astype(np.float64) / float(n)
+    return ranked[["o_orderkey", "cd"]]
+
+
 def user_first_last_value(sf_dir: str) -> pd.DataFrame:
     """first_value / last_value window frame per user: the value of each
     user's first and last event (ordered by ts, event_id) — one keyed
