@@ -38,6 +38,60 @@ def _r(df: pd.DataFrame, cols, nd: int = 2) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.9 per-key window engine — coarse-bucket evaluation
+# ---------------------------------------------------------------------------
+
+_WINDOW_ROWS_PER_BUCKET = 2_000_000  # target rows per coarse-bucket task
+
+
+def _window_bucket_count(n_rows: int) -> int:
+    """Power-of-two coarse-bucket count for per-key window evaluation,
+    scaled so each bucket task holds ~2M rows — the same policy as
+    ``textops._lsh_bucket_count`` (per-tiny-group ``map_groups`` measured
+    10× slower on the LSH path).  The floor of 32 keeps small corpora wide
+    enough to use the CPUs without shrinking groups to per-key size."""
+    want = max(32, n_rows // _WINDOW_ROWS_PER_BUCKET)
+    return 1 << int(np.ceil(np.log2(want)))
+
+
+def per_key_windows(ds: "ray.data.Dataset", key: str, bucket_fn,
+                    n_buckets: int | None = None,
+                    n_rows_hint: int | None = None) -> "ray.data.Dataset":
+    """Evaluate a per-key window family with ONE keyed shuffle and ~B Python
+    invocations instead of one per key (round-3 verdict item 1).
+
+    Rows shuffle on the top ``log2(B)`` bits of a Knuth multiplicative hash
+    of ``key`` (every row of a key lands in the same coarse bucket), then
+    ``bucket_fn`` runs ONCE per bucket over a pandas frame holding MANY
+    complete key groups.  ``bucket_fn`` must compute its windows with
+    vectorized in-frame ``df.groupby(key)`` kernels (cumsum / shift / diff /
+    cumcount / transform / drop_duplicates), which pandas executes in C per
+    bucket — so total Python-call count is ~B, independent of key
+    cardinality.  Output is identical to ``ds.groupby(key).map_groups(
+    per_key_fn)`` (asserted by tests/test_ops.py::test_window_bucket_route).
+
+    ``n_rows_hint`` sizes B without consuming ``ds`` when ``ds`` has
+    transform lineage (an unmaterialized Dataset counted AND mapped would
+    re-execute its upstream twice)."""
+    if n_buckets is None:
+        n = n_rows_hint if n_rows_hint is not None else ds.count()
+        n_buckets = _window_bucket_count(n)
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> shift
+        return t.append_column("_wb", pa.array(h.astype(np.int64)))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns="_wb"))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_wb").map_groups(run, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # A2/O1 — TPC-H Q1-style pricing summary
 # ---------------------------------------------------------------------------
 
@@ -365,19 +419,26 @@ def anti_join_customers(sf_dir: str, **kw) -> pd.DataFrame:
 
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Grouped top-k (window rank): each customer's k most expensive orders
-    — groupby(custkey).map_groups with a per-group lexsort head(k), the
-    partition-local window pattern (no global sort)."""
+    — the partition-local window pattern (no global sort).  A per-batch
+    combiner first prunes every batch to its own per-customer top-k (valid
+    for top-k), then one coarse-bucket shuffle ranks via a vectorized
+    grouped ``cumcount`` — ~B Python calls total, not one per customer."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    n_rows = ds.count()
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        rnk = df.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        df["rnk"] = rnk.astype(np.int64)
+        return df.loc[df["rnk"] <= k,
+                      ["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
 
-    out = (ds.groupby("o_custkey").map_groups(f, batch_format="pandas")
+    pruned = ds.map_batches(
+        lambda df: topk(df)[["o_custkey", "o_orderkey", "o_totalprice"]],
+        batch_format="pandas")
+    out = (per_key_windows(pruned, "o_custkey", topk, n_rows_hint=n_rows)
            .to_pandas().sort_values(["o_custkey", "rnk"])
            .reset_index(drop=True))
     return _r(out, ["o_totalprice"])
@@ -582,16 +643,16 @@ def supplier_nations(sf_dir: str) -> pd.DataFrame:
 
 def running_total_per_user(sf_dir: str) -> pd.DataFrame:
     """Window function: cumulative value per user ordered by (ts, event_id) —
-    sorted pandas cumsum inside user groups (the windowed-aggregate pattern;
-    ordering assumption stated: per-user ts order)."""
+    one coarse-bucket shuffle (:func:`per_key_windows`), vectorized in-bucket
+    ``groupby(user).cumsum`` (ordering assumption stated: per-user ts order)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["running_value"] = g["value"].cumsum()
-        return g[["event_id", "running_value"]]
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["running_value"] = df.groupby("user_id", sort=False)["value"].cumsum()
+        return df[["event_id", "running_value"]]
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     out = out.sort_values("event_id").reset_index(drop=True)
     return _r(out, ["running_value"])
 
@@ -599,38 +660,61 @@ def running_total_per_user(sf_dir: str) -> pd.DataFrame:
 def sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Session windows per user: a gap > 300 s starts a new session; emits the
     1-based session index per event (gaps-and-islands; stream-shaped op over
-    the bounded log — SURVEY §2.10 ordering note)."""
+    the bounded log — SURVEY §2.10 ordering note).  Coarse-bucket window
+    evaluation: in-bucket grouped diff + grouped cumsum, all cython."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff().dt.total_seconds()
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = df.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
         new_sess = gap.isna() | (gap > 300.0)
-        g["session_idx"] = new_sess.cumsum().astype("int64")
-        return g[["event_id", "session_idx"]]
+        df["session_idx"] = (new_sess.groupby(df["user_id"], sort=False)
+                             .cumsum().astype("int64"))
+        return df[["event_id", "session_idx"]]
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
 def sliding_window_counts(sf_dir: str) -> pd.DataFrame:
     """Sliding window: events per user in the trailing 600 s (inclusive of
-    the current event) — sorted two-pointer sweep per user group."""
+    the current event).  Coarse-bucket evaluation with NO per-user Python:
+    the frame-end (last equal-ts peer, per SQL RANGE semantics) comes from a
+    grouped cython ``transform('max')`` over row indices, and the frame
+    start (count of the user's rows with ts < t-600 s) from one
+    ``pd.merge_asof(by=user)`` of the bucket against itself — both
+    vectorized across every user in the bucket."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+              .reset_index(drop=True))
         # normalize to ns explicitly — pandas 2.x preserves the Arrow [us]
         # unit, so a bare astype(int64) would be microseconds
-        ts = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-        lo = np.searchsorted(ts, ts - 600 * 10**9, side="left")
+        ts = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        start = idx - pos  # first row index of this user's segment
         # SQL RANGE frames end at the last PEER (equal-ts row), not the
         # current row position — count the full [t-600s, t] value range
-        hi = np.searchsorted(ts, ts, side="right")
-        g["n_trailing_10m"] = (hi - lo).astype("int64")
-        return g[["event_id", "n_trailing_10m"]]
+        last_eq = (pd.Series(idx).groupby([df["user_id"], df["ts"]],
+                                          sort=False).transform("max")
+                   .to_numpy())
+        hi = last_eq - start + 1
+        left = pd.DataFrame({"user_id": df["user_id"],
+                             "tgt": ts - 600 * 10**9,
+                             "row": idx}).sort_values("tgt", kind="stable")
+        right = pd.DataFrame({"user_id": df["user_id"], "tgt": ts,
+                              "cnt": pos + 1}).sort_values("tgt", kind="stable")
+        m = pd.merge_asof(left, right, on="tgt", by="user_id",
+                          allow_exact_matches=False)
+        lo = np.zeros(len(df), dtype=np.int64)
+        lo[m["row"].to_numpy()] = (m["cnt"].fillna(0).to_numpy()
+                                   .astype(np.int64))
+        df["n_trailing_10m"] = (hi - lo).astype("int64")
+        return df[["event_id", "n_trailing_10m"]]
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -685,16 +769,17 @@ def json_get_stats(sf_dir: str) -> pd.DataFrame:
 
 def asof_prev_event(sf_dir: str) -> pd.DataFrame:
     """J5 as-of lookup: each event joined to the user's immediately-previous
-    event timestamp — sort within user groups, shift; events with no
-    predecessor are dropped (null-free compare surface)."""
+    event timestamp — coarse-bucket window evaluation, grouped cython
+    ``shift``; events with no predecessor are dropped (null-free compare
+    surface)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["prev_ts"] = g["ts"].shift(1)
-        return g[g["prev_ts"].notna()][["event_id", "prev_ts"]]
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["prev_ts"] = df.groupby("user_id", sort=False)["ts"].shift(1)
+        return df.loc[df["prev_ts"].notna(), ["event_id", "prev_ts"]]
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -896,16 +981,18 @@ def mode_event_per_user(sf_dir: str) -> pd.DataFrame:
     lexicographically smallest).  Two-level shape: distributed count per
     (user, type), then a per-user argmax over ≤|event types| rows."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    n_rows = ds.count()
     counts = (ds.groupby(["user_id", "event_type"])
               .aggregate(Count(alias_name="n")))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "event_type"], ascending=[False, True],
-                          kind="stable").head(1)
-        return g.rename(columns={"event_type": "mode_type"})[
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.drop_duplicates("user_id")
+        return df.rename(columns={"event_type": "mode_type"})[
             ["user_id", "mode_type", "n"]]
 
-    out = (counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+    out = (per_key_windows(counts, "user_id", pick, n_rows_hint=n_rows)
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     out["n"] = out["n"].astype("int64")
     return out
@@ -915,20 +1002,29 @@ def user_event_paths(sf_dir: str) -> pd.DataFrame:
     """Ordered string-agg per group: each user's event-type sequence joined
     ','-separated in (ts, event_id) order — list/string aggregation with an
     explicit intra-group ordering contract (per-group memory bounded by the
-    user's event count)."""
+    user's event count).  Coarse-bucket evaluation: user runs become Arrow
+    list offsets, joined by one vectorized ``pc.binary_join`` per bucket —
+    no per-user Python string building."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        change = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        offsets = np.concatenate((change, [len(uid)])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(df["event_type"].to_numpy(), type=pa.string()))
+        paths = pc.binary_join(lists, ",")
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "path": [",".join(g["event_type"])],
-            "n": np.array([len(g)], dtype=np.int64),
+            "user_id": uid[change],
+            "path": paths.to_pandas().to_numpy(),
+            "n": np.diff(offsets).astype(np.int64),
         })
 
-    return (ds.groupby("user_id").map_groups(f, batch_format="pandas")
-            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return (per_key_windows(ds, "user_id", f).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
 
 
 def range_join_purchases(sf_dir: str, window_s: int = 14400) -> pd.DataFrame:
@@ -1162,19 +1258,20 @@ def regression_price_qty(sf_dir: str) -> pd.DataFrame:
 def lead_next_gap(sf_dir: str) -> pd.DataFrame:
     """LEAD window function: per event, seconds until the SAME user's next
     event (events with no successor are dropped, mirroring ``WHERE gap IS
-    NOT NULL``).  Same keyed-group shape as sessionize: one shuffle on
-    user_id, sort + shifted diff inside the group."""
+    NOT NULL``).  Same coarse-bucket shape as sessionize: one shuffle on
+    hash(user_id)%B, grouped cython ``shift(-1)`` inside each bucket."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         # raw float seconds — the driver compare rounds both sides to 6 dp,
         # so a second rounding here would double-round vs the oracle
-        gap = (g["ts"].shift(-1) - g["ts"]).dt.total_seconds()
-        g["gap_s"] = gap
-        return g.loc[gap.notna(), ["event_id", "gap_s"]]
+        nxt = df.groupby("user_id", sort=False)["ts"].shift(-1)
+        gap = (nxt - df["ts"]).dt.total_seconds()
+        df["gap_s"] = gap
+        return df.loc[gap.notna(), ["event_id", "gap_s"]]
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -1192,9 +1289,9 @@ def best_order_per_customer(sf_dir: str) -> pd.DataFrame:
                                ascending=[False, True], kind="stable")
                 .drop_duplicates("o_custkey"))
 
-    out = (ds.map_batches(best, batch_format="pandas")
-           .groupby("o_custkey")
-           .map_groups(best, batch_format="pandas")
+    n_rows = ds.count()
+    out = (per_key_windows(ds.map_batches(best, batch_format="pandas"),
+                           "o_custkey", best, n_rows_hint=n_rows)
            .to_pandas()
            .rename(columns={"o_orderkey": "best_order",
                             "o_totalprice": "best_price"}))
@@ -1435,18 +1532,21 @@ def cume_dist_orders(sf_dir: str) -> pd.DataFrame:
 
 def user_first_last_value(sf_dir: str) -> pd.DataFrame:
     """first_value / last_value window frame per user: the value of each
-    user's first and last event (ordered by ts, event_id) — one keyed
-    shuffle, per-group head/tail (group size = per-user event count)."""
+    user's first and last event (ordered by ts, event_id) — one coarse
+    keyed shuffle, vectorized in-bucket ``drop_duplicates(keep=first/last)``
+    head/tail (no per-user Python)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
                                                "ts", "value"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "first_val": [g["value"].iloc[0]],
-                             "last_val": [g["value"].iloc[-1]]})
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        first = df.drop_duplicates("user_id", keep="first")
+        last = df.drop_duplicates("user_id", keep="last")
+        return pd.DataFrame({"user_id": first["user_id"].to_numpy(),
+                             "first_val": first["value"].to_numpy(),
+                             "last_val": last["value"].to_numpy()})
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -1553,29 +1653,26 @@ def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
     """Correlated-subquery shape: per customer, how many of their orders
     price strictly above their own average order price.  The comparison is
     done in exact integer cents (``price_cents · n_orders > Σ cents``) so no
-    float-average boundary can flip a row between engines; groups are
-    per-customer (bounded by order count), evaluated in ``map_groups``."""
+    float-average boundary can flip a row between engines; evaluated in one
+    coarse-bucket shuffle with cython grouped transforms (size/sum) — no
+    per-customer Python."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"].to_numpy(dtype=np.float64)
                      * 100.0).astype(np.int64)
-        return pa.table({"o_custkey": t["o_custkey"],
-                         "c": pa.array(c, type=pa.int64())})
+        df = df.assign(c=c)
+        g = df.groupby("o_custkey", sort=False)["c"]
+        n = g.transform("size").to_numpy()
+        s = g.transform("sum").to_numpy()
+        df["above"] = c * n > s
+        out = (df.groupby("o_custkey", as_index=False)
+               .agg(n_orders=("c", "size"), n_above=("above", "sum")))
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["n_above"] = out["n_above"].astype("int64")
+        return out[["o_custkey", "n_orders", "n_above"]]
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["c"].to_numpy()
-        n = len(c)
-        return pd.DataFrame({
-            "o_custkey": g["o_custkey"].iloc[:1],
-            "n_orders": np.array([n], dtype=np.int64),
-            "n_above": np.array([int((c * n > c.sum()).sum())],
-                                dtype=np.int64),
-        })
-
-    out = (ds.map_batches(cents, batch_format="pyarrow")
-           .groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
-           .to_pandas())
+    out = per_key_windows(ds, "o_custkey", f).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -1607,16 +1704,26 @@ def argmax_order(sf_dir: str) -> pd.DataFrame:
 def moving_avg_user_value(sf_dir: str) -> pd.DataFrame:
     """Rows-frame windowed aggregate: per-user moving average of ``value``
     over the current + 2 preceding events in (ts, event_id) order (the
-    ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` frame).  Per-user groups
-    (bounded), vectorized pandas rolling inside ``map_groups``."""
+    ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` frame).  Coarse-bucket
+    evaluation: the 3-row frame is an explicit shifted 3-term sum masked at
+    user boundaries via grouped ``cumcount`` — exact small sums (no cumsum
+    cancellation), zero per-user Python."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "value"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["mov_avg"] = g["value"].rolling(3, min_periods=1).mean()
-        return g[["event_id", "mov_avg"]]
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+              .reset_index(drop=True))
+        v = df["value"].to_numpy(dtype=np.float64)
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        v1 = np.concatenate(([0.0], v[:-1]))
+        v2 = np.concatenate(([0.0, 0.0], v[:-2]))
+        # sum in frame order (oldest row first) to mirror the oracle's
+        # accumulation order bit-for-bit on 3-term sums
+        s = np.where(pos >= 2, v2, 0.0) + np.where(pos >= 1, v1, 0.0) + v
+        df["mov_avg"] = s / np.minimum(pos + 1, 3)
+        return df[["event_id", "mov_avg"]]
 
-    out = ds.groupby("user_id").map_groups(f, batch_format="pandas").to_pandas()
+    out = per_key_windows(ds, "user_id", f).to_pandas()
     out = out.sort_values("event_id").reset_index(drop=True)
     return _r(out, ["mov_avg"], 6)

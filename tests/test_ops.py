@@ -865,3 +865,48 @@ class TestRound3Relational:
                     .to_pandas().sort_values("v")["v"].tolist())
             assert semi == ["b"], (bmax, semi)
             assert anti == ["a", "c", "d"], (bmax, anti)
+
+
+class TestWindowBucketRoute:
+    def test_window_bucket_route(self, ray_session):
+        """per_key_windows must (a) equal the per-key map_groups semantics
+        exactly and (b) invoke bucket_fn once per COARSE bucket (≤ B calls
+        total), never once per key — the round-3 verdict item 1 contract."""
+        import ray.data
+
+        from imc_ray.relational import per_key_windows
+
+        rng = np.random.default_rng(7)
+        n, n_keys, b = 5000, 400, 8
+        df = pd.DataFrame({
+            "k": rng.integers(0, n_keys, n).astype("int64"),
+            "ord": np.arange(n, dtype="int64"),
+            "v": rng.normal(size=n),
+        })
+        ds = ray.data.from_pandas(df).repartition(6)
+
+        def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["k", "ord"], kind="stable")
+            g["cum"] = g.groupby("k", sort=False)["v"].cumsum()
+            # one marker row per invocation proves the call count
+            g["call_rows"] = np.int64(len(g))
+            return g[["k", "ord", "cum", "call_rows"]]
+
+        out = (per_key_windows(ds, "k", bucket_fn, n_buckets=b)
+               .to_pandas().sort_values("ord").reset_index(drop=True))
+
+        # (a) exact per-key window semantics
+        ref = df.sort_values(["k", "ord"], kind="stable")
+        ref = ref.assign(cum=ref.groupby("k")["v"].cumsum())
+        ref = ref.sort_values("ord").reset_index(drop=True)
+        np.testing.assert_allclose(out["cum"].to_numpy(),
+                                   ref["cum"].to_numpy(), rtol=0, atol=0)
+        assert len(out) == n
+
+        # (b) bucket_fn ran once per coarse bucket: the distinct invocation
+        # sizes must partition n into ≤ b pieces (each key's rows intact)
+        sizes = out.groupby("call_rows")["ord"].count()
+        n_calls = int(sum(int(s) // int(cr) for cr, s in sizes.items()))
+        assert n_calls <= b, (n_calls, b)
+        # every key fully inside one invocation: per-key call_rows constant
+        assert (out.groupby("k")["call_rows"].nunique() == 1).all()
