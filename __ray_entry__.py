@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "dense_rank_orders": R.dense_rank_orders,
         "split_assign_documents": T.split_assign_documents,
+        "decontaminate_documents": T.decontaminate_documents,
         "percent_rank_orders": R.percent_rank_orders,
         "user_first_last_value": R.user_first_last_value,
         "weighted_avg_discount": R.weighted_avg_discount,
@@ -326,6 +327,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "distinct_lang": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "sample_orders_count": """
+            SELECT CAST(count(*) AS BIGINT) AS sampled_rows
+            FROM orders
+            WHERE (CAST(o_orderkey % 4294967296 AS HUGEINT) * 2654435761)
+                  % 4294967296 < 429496729
+        """,
         "q6_revenue_delta": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
             FROM lineitem
@@ -729,6 +736,27 @@ def oracle_sql() -> dict[str, str]:
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "decontaminate_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 3)) AS i
+                      FROM toks)
+            ), bl AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0
+            ), hits AS (
+                SELECT DISTINCT grams.doc_id FROM grams
+                JOIN bl USING (g) WHERE grams.doc_id % 100 <> 0
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 100 <> 0
+            ORDER BY d.doc_id
         """,
         "dense_rank_orders": """
             SELECT o_orderkey, round(o_totalprice, 2) AS price,

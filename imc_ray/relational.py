@@ -280,12 +280,25 @@ def distinct_lang(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"lang": sorted(langs)})
 
 
-def sample_orders_count(sf_dir: str) -> pd.DataFrame:
-    """O4 seeded sample — deterministic row count for a fixed seed (rows-only
-    check; sampling fraction is not SQL-reproducible)."""
+def sample_orders_count(sf_dir: str, fraction: float = 0.1) -> pd.DataFrame:
+    """O4 sample — DETERMINISTIC multiplicative-hash keep-rule (round-3
+    verdict item 4: ``ds.random_sample(seed)`` is not SQL-reproducible, so
+    the row was a permanent ``no_oracle``).  A row is kept iff the Knuth
+    hash of its key lands under ``fraction`` of the 2^32 ring — stable
+    under re-runs, re-partitioning and engine choice, and mirrored exactly
+    in the oracle SQL (HUGEINT arithmetic; the key is pre-reduced mod 2^32
+    so the numpy uint64 product never wraps and both sides agree at any
+    key magnitude).  Pure per-batch arithmetic + count — no shuffle."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
-    n = ds.random_sample(0.1, seed=42).count()
-    return pd.DataFrame({"sampled_rows": [n]})
+    cut = np.uint64(int(fraction * 2**32))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((k % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+        return t.filter(pa.array(h < cut))
+
+    n = ds.map_batches(keep, batch_format="pyarrow").count()
+    return pd.DataFrame({"sampled_rows": np.array([n], dtype=np.int64)})
 
 
 # ---------------------------------------------------------------------------

@@ -648,6 +648,10 @@ class TestRound3Relational:
 
         out = textops.simhash_near_dup(str(tmp_path))
         got = dict(zip(out["doc_id"], out["dup_group"]))
+        # the scale route (20-of-6 block triples, forced) is the SAME
+        # exhaustive candidate guarantee — identical groups required
+        out_scale = textops.simhash_near_dup(str(tmp_path), layout="20of6")
+        assert got == dict(zip(out_scale["doc_id"], out_scale["dup_group"]))
 
         # brute force: popcount of all-pairs XOR + union-find
         hs = textops.simhash64_batch(texts).astype(np.uint64)
@@ -910,3 +914,44 @@ class TestWindowBucketRoute:
         assert n_calls <= b, (n_calls, b)
         # every key fully inside one invocation: per-key call_rows constant
         assert (out.groupby("k")["call_rows"].nunique() == 1).all()
+
+
+class TestDecontaminate:
+    def test_decontaminate_route_parity_and_semantics(self, ray_session, tmp_path):
+        """Broadcast and hash-join routes must agree, and the flags must
+        equal a brute-force n-gram overlap check against the blocklist
+        slice (doc_id % 100 == 0)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from imc_ray import textops
+
+        rng = np.random.default_rng(3)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(40)]
+        # doc 0 and 100 are blocklist; plant doc 7 to contain doc 0's grams
+        texts[0] = "one two three four five six"
+        texts[7] = "zzz two three four five yyy"        # shares 4-gram
+        ids = np.array(list(range(7)) + [7] + list(range(8, 39)) + [100],
+                       dtype=np.int64)
+        pq.write_table(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)}),
+                       str(tmp_path / "documents.parquet"))
+
+        a = textops.decontaminate_documents(str(tmp_path))
+        b = textops.decontaminate_documents(str(tmp_path), broadcast_max=0)
+        pd.testing.assert_frame_equal(a, b)
+        flags = dict(zip(a["doc_id"], a["contaminated"]))
+        assert 0 not in flags and 100 not in flags  # blocklist rows excluded
+
+        # brute force
+        def grams(s, n=4):
+            t = s.split(" ")
+            return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+        bl = set().union(*(grams(t) for d, t in zip(ids, texts)
+                           if d % 100 == 0))
+        for d, t in zip(ids, texts):
+            if d % 100 != 0:
+                assert flags[d] == int(bool(grams(t) & bl)), d
+        assert flags[7] == 1
