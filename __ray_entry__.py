@@ -530,7 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_quantity_price": """
             SELECT count(*) AS n,
                    round(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
-                   round(covar_samp(l_quantity, l_extendedprice), 0) AS covar_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), -2) AS covar_qp,
                    round(stddev_samp(l_quantity), 2)                 AS sd_qty,
                    round(stddev_samp(l_extendedprice), 2)            AS sd_price
             FROM lineitem
@@ -624,7 +624,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "regression_price_qty": """
             SELECT count(*) AS n,
-                   round(covar_pop(l_quantity, l_extendedprice), 0)
+                   round(covar_pop(l_quantity, l_extendedprice), -2)
                        AS covar_pop_qp,
                    round(regr_slope(l_extendedprice, l_quantity), 3)
                        AS slope,

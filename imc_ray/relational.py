@@ -381,9 +381,12 @@ def semi_filter(ds: ray.data.Dataset, col: str,
     distinct = (keys_ds.groupby(key_col).aggregate(Count(alias_name="_one"))
                 .materialize())
     if distinct.count() <= broadcast_max_keys:
-        keys = pa.array(sorted(int(k) for k in distinct.unique(key_col)),
-                        type=pa.int64())
-        keys_ref = ray.put(keys)
+        # vectorized broadcast build (round-3 advice): the keys are already
+        # distinct post-groupby, so collect the single int column and
+        # np.sort it — not a GIL-bound Python sorted() over 2M scalars
+        keys_np = np.sort(distinct.select_columns([key_col]).to_pandas()
+                          [key_col].to_numpy())
+        keys_ref = ray.put(pa.array(keys_np, type=pa.int64()))
 
         def f(t: pa.Table) -> pa.Table:
             mask = pc.is_in(t[col], value_set=ray.get(keys_ref))
@@ -853,8 +856,15 @@ def pivot_user_events(sf_dir: str) -> pd.DataFrame:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ct = pd.crosstab(df["user_id"], df["event_type"])
+        # round-3 advice: the column domain is a declared constant — fail
+        # LOUDLY if the corpus drifts outside it instead of silently
+        # dropping the per-type count (the oracle hardcodes the same list)
+        extra = set(ct.columns) - set(_EVENT_TYPES)
+        if extra:
+            raise ValueError(f"pivot_user_events: event types outside the "
+                             f"declared pivot domain: {sorted(extra)}")
         # n_total counts ALL rows (the oracle's count(*)), taken before the
-        # reindex drops any event type outside the pivoted column domain
+        # reindex fills any type absent from this batch
         total = ct.sum(axis=1)
         ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
         ct.columns = [f"n_{c}" for c in _EVENT_TYPES]
@@ -943,9 +953,11 @@ def _qty_price_moments(sf_dir: str) -> dict:
 def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
     """Statistical aggregates: Pearson correlation, sample covariance and
     sample stddevs of (l_quantity, l_extendedprice) — one row off
-    :func:`_qty_price_moments`.  covar is rounded to 0 dp (the
-    sum-of-products differs from DuckDB's streaming algorithm by ~1e-2 at
-    this magnitude); corr is scale-free so 6 dp is safe."""
+    :func:`_qty_price_moments`.  covar is rounded to a step-100 grid
+    (round-3 advice: the sum-of-products differs from DuckDB's streaming
+    algorithm by ~1e-2 at this magnitude, so the compare grid step must
+    dwarf the divergence — step 100 puts a boundary flip at ~2e-4
+    probability); corr is scale-free so 6 dp is safe."""
     m = _qty_price_moments(sf_dir)
     n = float(m["n"])
     cxy = (m["sxy"] - m["sx"] * m["sy"] / n) / (n - 1.0)
@@ -954,7 +966,7 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
     df = pd.DataFrame([{
         "n": int(m["n"]),
         "corr_qp": float(round_half_away(cxy / np.sqrt(vx * vy), 6)),
-        "covar_qp": float(round_half_away(cxy, 0)),
+        "covar_qp": float(round_half_away(cxy, -2)),
         "sd_qty": float(round_half_away(np.sqrt(vx), 2)),
         "sd_price": float(round_half_away(np.sqrt(vy), 2)),
     }])
@@ -1186,30 +1198,90 @@ def cumulative_new_users(sf_dir: str) -> pd.DataFrame:
     return per_day[["day", "new_users", "cum_users"]]
 
 
-def ntile_order_prices(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
-    """NTILE window function: orders bucketed into price quartiles within
-    each priority — per-group sort + SQL NTILE's size arithmetic (first
-    ``n % tiles`` tiles get the extra row), no global sort.
+def _ntile_of(rn0: np.ndarray, n_p: np.ndarray, tiles: int) -> np.ndarray:
+    """SQL NTILE from a ZERO-based within-partition row number ``rn0`` and
+    the partition's total row count ``n_p`` (vectorized; first ``n % tiles``
+    tiles get the extra row)."""
+    base = n_p // tiles
+    extra = n_p % tiles
+    cut = (base + 1) * extra
+    return np.where(rn0 < cut, rn0 // (base + 1),
+                    extra + (rn0 - cut) // np.maximum(base, 1)) + 1
 
-    Partitioning assumption: the window's partition key (priority, 5
-    values) makes each group corpus/5 rows — fine while a partition fits
-    one task; for windows over low-cardinality partitions at corpus scale,
-    rank via :func:`global_row_number` (bucketed, no partition-sized task)
-    and derive the tile from ``rn`` arithmetically."""
+
+def ntile_order_prices(sf_dir: str, tiles: int = 4,
+                       group_rows_bound: int = 10_000_000) -> pd.DataFrame:
+    """NTILE window function: orders bucketed into price quartiles within
+    each priority.  ROUTED by partition size (round-3 advice: the window's
+    partition key has 5 values, so the map_groups route holds ~corpus/5
+    rows in one task):
+
+    * partitions ≤ ``group_rows_bound``: per-group sort + SQL NTILE's size
+      arithmetic (no global sort, one task per partition).
+    * above: rank via :func:`global_row_number` over the composite key
+      ``prio_code·K − price`` (partitions stay contiguous in the global
+      order, and K exceeds the price range so no cross-partition
+      collision); the within-partition row number is then the global rank
+      minus the partition's cumulative offset (driver-known, 5 values) and
+      the tile is pure arithmetic — no task ever holds a partition.
+
+    Identical outputs (route-equality test)."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    counts = (ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("o_orderpriority")
+              .reset_index(drop=True))
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="stable")
-        n = len(g)
-        base, extra = divmod(n, tiles)
-        sizes = np.full(tiles, base, dtype=np.int64)
-        sizes[:extra] += 1
-        g["tile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64), sizes)
-        return g[["o_orderkey", "o_orderpriority", "tile"]]
+    if counts.empty or counts["n"].max() <= group_rows_bound:
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True], kind="stable")
+            n = len(g)
+            base, extra = divmod(n, tiles)
+            sizes = np.full(tiles, base, dtype=np.int64)
+            sizes[:extra] += 1
+            g["tile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64),
+                                  sizes)
+            return g[["o_orderkey", "o_orderpriority", "tile"]]
 
-    out = (ds.groupby("o_orderpriority").map_groups(f, batch_format="pandas")
+        out = (ds.groupby("o_orderpriority")
+               .map_groups(f, batch_format="pandas")
+               .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+        out["tile"] = out["tile"].astype("int64")
+        return out
+
+    prios = counts["o_orderpriority"].tolist()
+    code_of = {p: i for i, p in enumerate(prios)}
+    n_p = counts["n"].to_numpy().astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(n_p)[:-1]])
+    scale = 1e9  # > any o_totalprice; prio_code·K exact in float64
+
+    def key2(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_pandas().map(code_of).to_numpy()
+        k2 = (prio.astype(np.float64) * scale
+              - t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "k2": pa.array(k2, type=pa.float64())})
+
+    ranked = global_row_number(ds.map_batches(key2, batch_format="pyarrow"),
+                               "k2", "o_orderkey")
+
+    def tile_fn(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        # k2 sits a hair BELOW code·K (price ≪ K/2), so nearest-int
+        # recovers the partition code exactly
+        code = np.rint(t["k2"].to_numpy(zero_copy_only=False)
+                       / scale).astype(np.int64)
+        rn0 = rn - 1 - offs[code]
+        tile = _ntile_of(rn0, n_p[code], tiles)
+        prio_arr = np.asarray(prios, dtype=object)[code]
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": pa.array(prio_arr.tolist(), type=pa.string()),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    out = (ranked.map_batches(tile_fn, batch_format="pyarrow")
            .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
     out["tile"] = out["tile"].astype("int64")
     return out
@@ -1253,7 +1325,8 @@ def regression_price_qty(sf_dir: str) -> pd.DataFrame:
     streaming moment partials as :func:`corr_quantity_price`
     (:func:`_qty_price_moments`).  Slope/intercept are rounded to
     3 dp on both sides (summation order vs DuckDB's streaming update differs
-    at ~1e-6 relative); covar_pop to 0 dp (absolute magnitude ~1e5)."""
+    at ~1e-6 relative); covar_pop to a step-100 grid (absolute magnitude
+    ~1e5; same divergence-vs-grid argument as corr_quantity_price)."""
     m = _qty_price_moments(sf_dir)
     n = float(m["n"])
     covp = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
@@ -1262,7 +1335,7 @@ def regression_price_qty(sf_dir: str) -> pd.DataFrame:
     intercept = m["sy"] / n - slope * m["sx"] / n
     return pd.DataFrame([{
         "n": int(m["n"]),
-        "covar_pop_qp": float(round_half_away(covp, 0)),
+        "covar_pop_qp": float(round_half_away(covp, -2)),
         "slope": float(round_half_away(slope, 3)),
         "intercept": float(round_half_away(intercept, 3)),
     }])
@@ -1443,7 +1516,12 @@ def global_row_number(ds: ray.data.Dataset, key_col: str, tie_col: str,
     def sample(t: pa.Table) -> pa.Table:
         v = np.sort(sgn * t[key_col].to_numpy(zero_copy_only=False)
                     .astype(np.float64))
-        idx = np.linspace(0, len(v) - 1, num=min(64, len(v))).astype(np.int64)
+        # sample count proportional to the batch's row share (round-3
+        # advice: a fixed 64 per batch over-weights small blocks and lets a
+        # few hot blocks concentrate rows into one bucket) — load-balance
+        # only; rank exactness is bucket-invariant (test-asserted)
+        num = min(len(v), max(16, len(v) // 1000))
+        idx = np.linspace(0, len(v) - 1, num=num).astype(np.int64)
         return pa.table({"v": pa.array(v[idx], type=pa.float64())})
 
     pool = np.sort(ds.map_batches(sample, batch_format="pyarrow")

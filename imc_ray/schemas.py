@@ -99,8 +99,10 @@ def polygons_table(polygons_df) -> pa.Table:
     (cluster_id + [{'x','y'}] rings) — the ONE conversion shared by the
     co-partition spatial join and the map writer, so the ring struct layout
     cannot drift between them."""
-    rings = ([[{"x": float(p["x"]), "y": float(p["y"])} for p in r]
-              for r in polygons_df["ring"]] if len(polygons_df) else [])
+    # Arrow converts the nested list-of-{'x','y'} rows in C — no per-point
+    # Python loop (round-3 advice: the dict comprehension here was the one
+    # remaining per-point driver loop feeding the broadcast J3 route)
+    rings = polygons_df["ring"].tolist() if len(polygons_df) else []
     return pa.table({
         "cluster_id": pa.array(
             polygons_df["cluster_id"].astype("int64")

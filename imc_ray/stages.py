@@ -1415,6 +1415,24 @@ def _ring_to_bytes(ring: np.ndarray) -> bytes:
     return np.ascontiguousarray(ring, dtype=np.float64).tobytes()
 
 
+def _rings_views(t: pa.Table) -> tuple[np.ndarray, list[np.ndarray]]:
+    """(cluster_ids, ring arrays) from a POLYGONS-schema Arrow table: the
+    ``list<struct{x,y}>`` ring column flattens into ONE (n_points, 2) f64
+    matrix via zero-copy struct-field reads; per-poly rings are numpy views
+    into it — the vectorized ring conversion shared by BOTH J3 routes
+    (round-3 verdict item 7: the broadcast route had its own per-point
+    ``iterrows`` loop)."""
+    ring = t["ring"]
+    if isinstance(ring, pa.ChunkedArray):
+        ring = ring.combine_chunks()
+    offs = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = ring.values
+    pts = np.column_stack([vals.field("x").to_numpy(zero_copy_only=False),
+                           vals.field("y").to_numpy(zero_copy_only=False)])
+    cids = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return cids, [pts[offs[i]:offs[i + 1]] for i in range(len(cids))]
+
+
 def spatial_join_copartition(tiles: ray.data.Dataset,
                              polys_ds: ray.data.Dataset,
                              cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
@@ -1446,9 +1464,8 @@ def spatial_join_copartition(tiles: ray.data.Dataset,
 
     def key_polys(t: pa.Table) -> pa.Table:
         pcells, cids, rings = [], [], []
-        for cid, ring in zip(t["cluster_id"].to_pylist(),
-                             t["ring"].to_pylist()):
-            r = np.asarray([[p["x"], p["y"]] for p in ring], dtype=np.float64)
+        all_cids, all_rings = _rings_views(t)
+        for cid, r in zip(all_cids, all_rings):
             if len(r) == 0:
                 continue
             blob = _ring_to_bytes(r)
@@ -1507,15 +1524,15 @@ def spatial_join(tiles: ray.data.Dataset, polygons_df: pd.DataFrame,
     cluster-count route).  Identical outputs — asserted in tests."""
     if broadcast_max_polys is None:
         broadcast_max_polys = _SPATIAL_BROADCAST_MAX_POLYS
-    if len(polygons_df) > broadcast_max_polys:
-        from .schemas import polygons_table
+    from .schemas import polygons_table
 
+    if len(polygons_df) > broadcast_max_polys:
         return spatial_join_copartition(
             tiles, ray.data.from_arrow(polygons_table(polygons_df)), cfg)
-    polys = []
-    for _, r in polygons_df.iterrows():
-        ring = np.asarray([[p["x"], p["y"]] for p in r["ring"]], dtype=np.float64)
-        polys.append((int(r["cluster_id"]), ring))
+    # same vectorized ring conversion as the co-partition route — the
+    # list<struct> flattens in Arrow C and rings become numpy views
+    cids, rings = _rings_views(polygons_table(polygons_df))
+    polys = [(int(c), r) for c, r in zip(cids, rings) if len(r)]
     ref = ray.put(polys)
     return tiles.map_batches(
         TileJoiner,

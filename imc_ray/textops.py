@@ -187,37 +187,57 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Stateful actor-pool stage: marker sets + regex compiled once per actor
-    (SURVEY §2.3 pattern).  Scores whitespace tokens against per-language
-    stopword sets; CJK codepoint ratio decides 'zh'.  Deterministic tie-break:
-    lexicographically smallest top-scoring language, 'und' when no signal."""
+    """Stateful actor-pool stage: marker arrays prepared once per actor
+    (SURVEY §2.3 pattern).  Scores letter-run tokens against per-language
+    stopword sets; CJK codepoint count decides 'zh'.  Deterministic
+    tie-break: lexicographically smallest top-scoring language, 'und' when
+    no signal.  Fully batch-vectorized (round-3 verdict item 6): CJK counts
+    via one RE2 ``count_substring_regex`` over the 400-codepoint prefix,
+    tokenization via one complement-class ``replace_substring_regex`` +
+    lower + split over the 2000-codepoint prefix, marker membership via
+    ``np.isin`` on the flat token stream with per-doc ``bincount`` sums —
+    identical predictions to the per-row loop it replaced (fixture test)."""
+
+    _WORD_CLASS = "a-zA-ZäöüÄÖÜßáéíóúñ"
 
     def __init__(self):
-        import re
-
-        self.word = re.compile(r"[a-zA-ZäöüÄÖÜßáéíóúñ]+")
+        self.langs = sorted(l for l, m in _LANG_MARKERS.items() if m)
+        self.markers = [np.sort(np.asarray(sorted(_LANG_MARKERS[l]),
+                                           dtype=object))
+                        for l in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for text in batch["text"].to_pylist():
-            cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
-            if cjk > 5:
-                preds.append("zh")
-                continue
-            toks = [w.lower() for w in self.word.findall(text[:2000])]
-            if not toks:
-                preds.append("und")
-                continue
-            scores = {
-                lang: sum(1 for w in toks if w in markers)
-                for lang, markers in _LANG_MARKERS.items() if markers
-            }
-            best = max(scores.values())
-            if best == 0:
-                preds.append("und")
-            else:
-                preds.append(min(l for l, s in scores.items() if s == best))
-        return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        cjk = pc.count_substring_regex(
+            pc.utf8_slice_codeunits(text, 0, 400),
+            pattern="[一-鿿]").to_numpy(zero_copy_only=False)
+        zh = cjk > 5
+        toks = pc.split_pattern(
+            pc.utf8_lower(pc.replace_substring_regex(
+                pc.utf8_slice_codeunits(text, 0, 2000),
+                pattern=f"[^{self._WORD_CLASS}]+", replacement=" ")), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        flat = toks.values.to_pandas().to_numpy()
+        doc_of = np.repeat(np.arange(n), counts)
+        real = flat != ""          # complement-split artifacts
+        scores = np.zeros((len(self.langs), n), dtype=np.int64)
+        for i, mk in enumerate(self.markers):
+            hit = real & np.isin(flat, mk)
+            scores[i] = np.bincount(doc_of, weights=hit,
+                                    minlength=n).astype(np.int64)
+        has_tok = np.bincount(doc_of, weights=real,
+                              minlength=n).astype(np.int64) > 0
+        best = scores.max(axis=0)
+        pick = np.asarray(self.langs, dtype=object)[scores.argmax(axis=0)]
+        preds = np.where(zh, "zh",
+                         np.where(~has_tok | (best == 0), "und", pick))
+        return batch.append_column(
+            "pred_lang", pa.array(preds.astype(object), type=pa.string()))
 
 
 def lang_id_documents(sf_dir: str) -> pd.DataFrame:

@@ -955,3 +955,68 @@ class TestDecontaminate:
             if d % 100 != 0:
                 assert flags[d] == int(bool(grams(t) & bl)), d
         assert flags[7] == 1
+
+
+class TestLangIdVectorized:
+    def test_langid_matches_per_row_reference(self, ray_session):
+        """The batch-vectorized LangId must emit IDENTICAL predictions to
+        the per-row reference loop it replaced (round-3 verdict item 6),
+        including CJK, empty, no-signal and tie-break cases."""
+        import re
+
+        import pyarrow as pa
+
+        from imc_ray.textops import _LANG_MARKERS, LangId
+
+        texts = [
+            "the query select join table data for a in is",
+            "der die das und ist nicht mit für ein",
+            "el la los que y en un una de",
+            "一二三四五六七八九十一二三四五六",     # zh
+            "",                                     # und (no tokens)
+            "zzz qqq xxx www",                      # und (no signal)
+            "the der",                              # tie → 'de' (lex min)
+            "Héllo The WORLD für 123 ñá the the",
+            "ä一b" * 300,                            # CJK below threshold
+            "the " * 1500,                           # prefix truncation
+        ]
+
+        def reference(text):
+            word = re.compile(r"[a-zA-ZäöüÄÖÜßáéíóúñ]+")
+            cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+            if cjk > 5:
+                return "zh"
+            toks = [w.lower() for w in word.findall(text[:2000])]
+            if not toks:
+                return "und"
+            scores = {lang: sum(1 for w in toks if w in markers)
+                      for lang, markers in _LANG_MARKERS.items() if markers}
+            best = max(scores.values())
+            if best == 0:
+                return "und"
+            return min(l for l, s in scores.items() if s == best)
+
+        batch = pa.table({"text": pa.array(texts, type=pa.string())})
+        got = LangId()(batch)["pred_lang"].to_pylist()
+        assert got == [reference(t) for t in texts]
+
+        # and on the real sf0.001 corpus
+        import pyarrow.parquet as pq
+        corpus = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                               columns=["text"])
+        got2 = LangId()(corpus)["pred_lang"].to_pylist()
+        want2 = [reference(t) for t in corpus["text"].to_pylist()]
+        assert got2 == want2
+
+
+class TestNtileRoute:
+    def test_ntile_scale_route_equals_group_route(self, ray_session):
+        """The rank-arithmetic scale route (global_row_number over the
+        composite partition key) must equal the per-partition map_groups
+        route exactly, including uneven-tile edge cases."""
+        from imc_ray.relational import ntile_order_prices
+
+        sf = "/root/testdata/sf0.001"
+        a = ntile_order_prices(sf)                        # group route
+        b = ntile_order_prices(sf, group_rows_bound=0)    # rank route
+        pd.testing.assert_frame_equal(a, b)
