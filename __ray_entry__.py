@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_orders": R.dense_rank_orders,
         "split_assign_documents": T.split_assign_documents,
         "decontaminate_documents": T.decontaminate_documents,
+        # iterative (Lloyd) — not SQL-expressible; exact-label pytest oracle
+        "kmeans_embeddings": V.kmeans_embeddings,
         "percent_rank_orders": R.percent_rank_orders,
         "user_first_last_value": R.user_first_last_value,
         "weighted_avg_discount": R.weighted_avg_discount,

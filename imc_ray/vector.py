@@ -619,3 +619,100 @@ def explode_embeddings(sf_dir: str, max_vecs: int = 50) -> pd.DataFrame:
         "val": round_half_away(vals, 6),
     })
     return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embedding column (semantic clustering)
+# ---------------------------------------------------------------------------
+
+def _assign_cells(m64: np.ndarray, c64: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment via ONE matmul:
+    ``argmin ||x-c||² = argmax (x·c − ||c||²/2)``; ties resolve to the
+    lowest cluster index (argmax first-occurrence).  Shared by the
+    distributed batches AND the single-node test oracle so float behavior
+    is identical on both paths."""
+    cc = (c64 * c64).sum(axis=1) / 2.0
+    return (m64 @ c64.T - cc[None, :]).argmax(axis=1)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8,
+                      iters: int = 4) -> pd.DataFrame:
+    """Distributed Lloyd k-means over ``embeddings.embedding`` — the
+    semantic-clustering primitive of cluster-based training-data curation
+    (SemDeDup / cluster-balanced sampling; public algorithms).  Returns one
+    (vec_id, cluster) row per vector.
+
+    Ray-Data shape (iterative algorithm — not SQL-expressible, rows-only
+    driver check; exactness asserted in pytest):
+
+    * init: the ``k`` lowest-vec_id vectors (deterministic, no RNG);
+    * per iteration: centroids broadcast ONCE via ``ray.put`` (k×dim,
+      constant); each batch assigns rows with one matmul and emits thin
+      per-cluster partial rows — (cluster, dim, Σcomponent) plus a
+      (cluster, −1, count) row — so the shuffle carries ≤ k·(dim+1) rows
+      per batch regardless of batch size; one small ``groupby(cluster,
+      dim)`` Sum finishes the reduction and the ≤ k·(dim+1)-row result
+      pivots on the driver;
+    * new centroids round to float32 each iteration, so label assignments
+      are invariant to partitioning/summation order (float64 block-sum
+      divergence ~1e-13 ≪ float32 resolution; empty clusters keep their
+      previous centroid — deterministic);
+    * final pass: one matmul per batch → (vec_id, cluster) labels.
+
+    The input pins once (``materialize``) — iterations re-read blocks, not
+    upstream lineage."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+          .materialize())
+    c = np.asarray(head_by_vec_id(ds, k)["embedding"].tolist(),
+                   dtype=np.float32)
+
+    for _ in range(iters):
+        ref = ray.put(c)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c64 = ray.get(_ref).astype(np.float64)
+            m = _emb_matrix(t).astype(np.float64)
+            if not len(m):
+                return pa.table({"cluster": pa.array([], type=pa.int64()),
+                                 "dim": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.float64())})
+            a = _assign_cells(m, c64)
+            kk, dim = c64.shape
+            onehot = np.zeros((len(m), kk), dtype=np.float64)
+            onehot[np.arange(len(m)), a] = 1.0
+            sums = onehot.T @ m                       # (k, dim)
+            cnts = onehot.sum(axis=0)                 # (k,)
+            cl = np.repeat(np.arange(kk, dtype=np.int64), dim + 1)
+            dims = np.tile(np.concatenate([[-1], np.arange(dim)]), kk)
+            s = np.concatenate([np.concatenate([[cnts[j]], sums[j]])
+                                for j in range(kk)])
+            return pa.table({"cluster": pa.array(cl),
+                             "dim": pa.array(dims.astype(np.int64)),
+                             "s": pa.array(s, type=pa.float64())})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["cluster", "dim"])
+               .aggregate(_Sum("s", alias_name="s")).to_pandas())
+        piv = agg.pivot(index="cluster", columns="dim", values="s")
+        new_c = c.copy()
+        for j in piv.index:
+            n_j = float(piv.loc[j, -1])
+            if n_j > 0:
+                vec = piv.loc[j].drop(index=-1).sort_index().to_numpy()
+                new_c[int(j)] = (vec / n_j).astype(np.float32)
+        c = new_c
+
+    ref = ray.put(c)
+
+    def label(t: pa.Table) -> pa.Table:
+        c64 = ray.get(ref).astype(np.float64)
+        m = _emb_matrix(t).astype(np.float64)
+        a = (_assign_cells(m, c64) if len(m)
+             else np.empty(0, dtype=np.int64))
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    out = ds.map_batches(label, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

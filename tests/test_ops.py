@@ -1020,3 +1020,35 @@ class TestNtileRoute:
         a = ntile_order_prices(sf)                        # group route
         b = ntile_order_prices(sf, group_rows_bound=0)    # rank route
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestKmeansEmbeddings:
+    def test_kmeans_matches_numpy_oracle(self, ray_session):
+        """Distributed Lloyd must emit EXACTLY the single-node labels: same
+        init (k lowest vec_ids), same assignment kernel, float32-rounded
+        centroid updates make the result partition-invariant."""
+        import pyarrow.parquet as pq
+
+        from imc_ray.vector import _assign_cells, kmeans_embeddings
+
+        sf = "/root/testdata/sf0.001"
+        k, iters = 8, 4
+        got = kmeans_embeddings(sf, k=k, iters=iters)
+
+        t = pq.read_table(sf + "/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        X = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+        c = X[:k].copy()
+        for _ in range(iters):
+            a = _assign_cells(X.astype(np.float64), c.astype(np.float64))
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    c[j] = (X[m].astype(np.float64).sum(axis=0)
+                            / m.sum()).astype(np.float32)
+        want = _assign_cells(X.astype(np.float64), c.astype(np.float64))
+
+        assert got["vec_id"].tolist() == df["vec_id"].tolist()
+        assert got["cluster"].tolist() == [int(x) for x in want]
+        assert got["cluster"].nunique() > 1  # actually clusters something
