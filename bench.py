@@ -136,6 +136,12 @@ def run_bench() -> dict:
     timed("tfidf_top_terms", lambda: textops.tfidf_top_terms(SF_DIR))
     timed("fuzzy_name_pairs", lambda: textops.fuzzy_name_pairs(SF_DIR))
     timed("rank_orders", lambda: relational.rank_orders(SF_DIR))
+    # round-4 additions: bucketized window family representative, the
+    # decontamination op, and distributed k-means
+    timed("sessionize_events", lambda: relational.sessionize_events(SF_DIR))
+    timed("decontaminate_documents",
+          lambda: textops.decontaminate_documents(SF_DIR))
+    timed("kmeans_embeddings", lambda: vector.kmeans_embeddings(SF_DIR))
 
     total = round(sum(queries.values()), 3)
     out = {

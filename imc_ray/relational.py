@@ -760,16 +760,15 @@ _JSON_K = re.compile(r'"k":\s*(-?\d+)')
 
 
 def json_get_stats(sf_dir: str) -> pd.DataFrame:
-    """F1 json_get: extract props.k → per-event-type stats."""
+    """F1 json_get: extract props.k → per-event-type stats.  One RE2
+    ``extract_regex`` per batch (null on no-match, like the Python search
+    it replaced) — no per-row loop."""
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def f(t: pa.Table) -> pa.Table:
-        ks = []
-        for p in t["props"].to_pylist():
-            m = _JSON_K.search(p) if p else None
-            ks.append(int(m.group(1)) if m else None)
-        return pa.table({"event_type": t["event_type"],
-                         "k": pa.array(ks, type=pa.int64())})
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
 
     out = (
         ds.map_batches(f, batch_format="pyarrow")

@@ -141,24 +141,23 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
 class BpeTokenCounter:
     """Actor-pool stage: the BPE-ish pre-tokenizer regex (letter runs /
     digit runs / punctuation runs — the GPT-2 pre-tokenization shape,
-    ASCII-safe so Python re and DuckDB RE2 agree exactly) compiles once per
-    actor; counts both whitespace and regex tokens per document."""
+    ASCII-safe so Arrow RE2 and DuckDB RE2 agree exactly); counts both
+    whitespace and regex tokens per document, one Arrow kernel each."""
 
     PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
-
-    def __init__(self):
-        import re
-
-        self.pat = re.compile(self.PATTERN)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n_ws = pc.cast(pc.add(pc.count_substring(t["text"], " "),
                               pa.scalar(1)), pa.int64())
-        n_bpe = [len(self.pat.findall(s)) for s in t["text"].to_pylist()]
+        # one RE2 pass per batch — same pattern, same match count as the
+        # per-row Python findall it replaced
+        n_bpe = pc.cast(pc.count_substring_regex(t["text"],
+                                                 pattern=self.PATTERN),
+                        pa.int64())
         return pa.table({
             "doc_id": t["doc_id"],
             "n_ws_tokens": n_ws,
-            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64()),
+            "n_bpe_tokens": n_bpe,
         })
 
 
@@ -280,12 +279,11 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = [tok for s in t["text"].to_pylist() for tok in s.split(" ")]
-        if not toks:
+        toks, _ = _split_tokens_arrow(t["text"])
+        if not len(toks):
             return pa.table({"token": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        uniq, counts = np.unique(np.asarray(toks, dtype=object),
-                                 return_counts=True)
+        uniq, counts = np.unique(toks, return_counts=True)
         return pa.table({"token": pa.array(uniq.tolist(), type=pa.string()),
                          "n": pa.array(counts, type=pa.int64())})
 
@@ -298,7 +296,19 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
 # Token / shingle hashing shared by minhash + simhash (vectorized kernels)
 # ---------------------------------------------------------------------------
 
-def _hash_unique_tokens(all_toks: list) -> tuple:
+def _split_tokens_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """ONE Arrow ``split_pattern`` for the whole batch → (flat object array
+    of tokens, per-doc int64 offsets).  Matches ``str.split(' ')`` exactly
+    (empty segments kept; '' splits to ['']) — the vectorized replacement
+    for the per-row Python split in the minhash/simhash kernels."""
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return toks.values.to_pandas().to_numpy(), offs
+
+
+def _hash_unique_tokens(all_toks) -> tuple:
     """blake2b per UNIQUE token (the only Python hashing loop left — natural
     language dedupes hard across a batch), inverse index per token.
     Returns (uniq_hashes u64 array, inverse)."""
@@ -378,19 +388,16 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
-        texts = batch["text"].to_pylist()
-        n = len(texts)
+        n = len(doc_ids)
         if n == 0:
             return pa.table({"band": pa.array([], type=pa.int64()),
                              "band_hash": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
-        # tokenize all docs; hash unique tokens once per batch
-        tok_lists = [t.split(" ") for t in texts]
-        all_toks = [tok for toks in tok_lists for tok in toks]
-        th_u, inv = _hash_unique_tokens(all_toks)
+        # tokenize all docs with ONE Arrow split (no per-row Python split);
+        # hash unique tokens once per batch
+        flat, offs = _split_tokens_arrow(batch["text"])
+        th_u, inv = _hash_unique_tokens(flat)
         th_all = th_u[inv]
-        # per-doc shingle hashes, concatenated with offsets
-        offs = np.concatenate([[0], np.cumsum([len(t) for t in tok_lists])])
         sh_parts = [_mix_kgram(th_all[offs[i]:offs[i + 1]]) for i in range(n)]
         sh_lens = np.fromiter((len(s) for s in sh_parts), dtype=np.int64, count=n)
         sh = (np.concatenate(sh_parts) >> np.uint64(3)).astype(np.uint64)
@@ -652,24 +659,42 @@ def simhash64(text: str) -> int:
 
 
 def simhash64_batch(texts) -> np.ndarray:
-    """Batch-vectorized SimHash: blake2b once per UNIQUE token in the batch,
-    ±1 bit matrix per unique token, per-doc segment sums via reduceat —
-    identical values to the per-token sequential loop (integer sums are
-    order-free)."""
+    """Batch-vectorized SimHash over a Python list of texts (the round-1
+    value-contract surface; the Arrow hot path is
+    :func:`simhash64_arrow`)."""
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     tok_lists = [t.split(" ") for t in texts]
     all_toks = [tok for toks in tok_lists for tok in toks]
+    offs = np.concatenate([[0], np.cumsum([len(t) for t in tok_lists])])
+    return _simhash_from_tokens(np.asarray(all_toks, dtype=object),
+                                offs.astype(np.int64))
+
+
+def simhash64_arrow(col) -> np.ndarray:
+    """SimHash for a whole Arrow string column: ONE Arrow split + the shared
+    token kernel — bit-identical to :func:`simhash64_batch` (same unique-
+    token blake2b, same order-free integer segment sums), no per-row
+    Python split."""
+    flat, offs = _split_tokens_arrow(col)
+    if len(offs) <= 1:
+        return np.empty(0, dtype=np.int64)
+    return _simhash_from_tokens(flat, offs)
+
+
+def _simhash_from_tokens(all_toks, offs: np.ndarray) -> np.ndarray:
+    """blake2b once per UNIQUE token, ±1 bit matrix per unique token,
+    per-doc segment sums via reduceat — identical values to the per-token
+    sequential loop (integer sums are order-free)."""
     th_u, inv = _hash_unique_tokens(all_toks)
     # (n_unique, 64) ±1 matrix from hash bits
     bits = ((th_u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int32)
     pm = bits * 2 - 1
-    offs = np.concatenate([[0], np.cumsum([len(t) for t in tok_lists])])[:-1]
-    acc = np.add.reduceat(pm[inv], offs.astype(np.int64), axis=0)
     # docs are non-empty by construction (split(" ") of "" is [""]): reduceat
     # segments align 1:1 with docs
+    acc = np.add.reduceat(pm[inv], offs[:-1], axis=0)
     out = ((acc > 0).astype(np.uint64)
            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
     return (out >> np.uint64(1)).astype(np.int64)  # 63-bit for int64
@@ -679,7 +704,7 @@ def simhash_documents(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        hs = simhash64_batch(t["text"].to_pylist())
+        hs = simhash64_arrow(t["text"])
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array(hs, type=pa.int64())})
 
@@ -723,18 +748,14 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        toks, doc_idx = [], []
-        for i, s in enumerate(texts):
-            ws = s.split(" ")
-            toks.extend(ws)
-            doc_idx.extend([i] * len(ws))
+        flat, offs = _split_tokens_arrow(t["text"])
         empty = pa.table({"bigram": pa.array([], type=pa.string()),
                           "n": pa.array([], type=pa.int64())})
-        if len(toks) < 2:
+        if len(flat) < 2:
             return empty
-        arr = np.asarray(toks, dtype=str)
-        idx = np.asarray(doc_idx, dtype=np.int64)
+        arr = flat.astype(str)
+        idx = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                        np.diff(offs))
         same_doc = idx[:-1] == idx[1:]
         if not same_doc.any():
             return empty
@@ -788,27 +809,45 @@ def chunk_dup_stats(sf_dir: str, chunk_tokens: int = 10) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunks(t: pa.Table) -> pa.Table:
-        # chunk splitting stays a per-doc loop (string work), but ALL
-        # chunks of the batch hash through two hash_pandas_object calls —
-        # the first cut made two calls PER DOC (round-3 review; the same
-        # per-row-call overhead MinHasher documents as ~10×)
-        doc_ids, all_parts = [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = s.split(" ")
-            parts = [" ".join(toks[i:i + chunk_tokens])
-                     for i in range(0, len(toks), chunk_tokens)]
-            doc_ids.extend([did] * len(parts))
-            all_parts.extend(parts)
-        ser = pd.Series(all_parts, dtype=object)
-        h1 = (pd.util.hash_pandas_object(
-            ser, index=False, hash_key="imcray-chunk-h1-").to_numpy()
-            .view(np.int64))
-        h2 = (pd.util.hash_pandas_object(
-            ser, index=False, hash_key="imcray-chunk-h2-").to_numpy()
-            .view(np.int64))
+        # fully vectorized (round-4): tokens hash ONCE per batch; each
+        # chunk's 128-bit key is two order-dependent uint64 mixes of its
+        # token hashes, summed per chunk with ONE bincount per mix (chunk
+        # index = doc-relative position // chunk_tokens).  Chunk-key
+        # equality ⇔ token-sequence equality ⇔ chunk-TEXT equality (the
+        # join separator is the split delimiter), so counts match the
+        # oracle's GROUP BY chunk text up to 2^-128 collisions — the same
+        # key contract as the string-hash version this replaces, without
+        # per-doc Python string building.
+        flat, offs = _split_tokens_arrow(t["text"])
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64())})
+        th = (pd.util.hash_pandas_object(
+            pd.Series(flat, dtype=object), index=False,
+            hash_key="imcray-chunk-tk1").to_numpy().astype(np.uint64))
+        counts = np.diff(offs)
+        pos = np.arange(len(th)) - np.repeat(offs[:-1], counts)
+        in_chunk = pos % chunk_tokens              # position within chunk
+        # one distinct odd constant PER in-chunk position (swapping two
+        # tokens must change the sum, so constants cannot repeat inside a
+        # chunk)
+        pidx = np.arange(chunk_tokens, dtype=np.uint64)
+        c1 = (pidx * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        c2 = (pidx * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        # chunks are CONTIGUOUS runs of the (doc, pos)-ordered token
+        # stream, so per-chunk wrap-around uint64 sums are one reduceat
+        # over the chunk-start offsets (in_chunk == 0)
+        starts = np.flatnonzero(in_chunk == 0)
+        h1 = np.add.reduceat(th * c1[in_chunk], starts)
+        h2 = np.add.reduceat(th * c2[in_chunk], starts)
+        chunks_per_doc = (counts + chunk_tokens - 1) // chunk_tokens
         return pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "h1": pa.array(h1), "h2": pa.array(h2),
+            "doc_id": pa.array(np.repeat(did, chunks_per_doc),
+                               type=pa.int64()),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
         })
 
     rows = ds.map_batches(chunks, batch_format="pyarrow").materialize()
@@ -913,7 +952,7 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3,
     nbuckets = _lsh_bucket_count(n_docs * rows_per_doc)
 
     def bands_fn(t: pa.Table) -> pa.Table:
-        hs = simhash64_batch(t["text"].to_pylist()).astype(np.uint64)
+        hs = simhash64_arrow(t["text"]).astype(np.uint64)
         did = t["doc_id"].to_numpy(zero_copy_only=False)
         rows = _simhash_band_rows(hs, did, layout)
         v = rows["val"].to_numpy().astype(np.uint64)
