@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_orders": R.cume_dist_orders,
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
+        "repetition_stats": T.repetition_stats,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
         "fingerprint_roll64": lambda sf: T.fingerprint_documents(sf)[["doc_id", "roll64"]],
         "lang_id_documents": T.lang_id_documents,
@@ -469,6 +470,25 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest({_ntok}, 1) AS DOUBLE), 4) AS avg_token_len,
                    round({_ntok} / ({_ntok} + 100.0), 4) AS quality
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       max(c) AS max_c
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   round(n_types / CAST(n_tokens AS DOUBLE), 6)
+                       AS type_token_ratio,
+                   round(max_c / CAST(n_tokens AS DOUBLE), 6)
+                       AS top_token_frac
+            FROM agg ORDER BY doc_id
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
         "embedding_sums": f"""

@@ -138,6 +138,42 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    repetition filters — public heuristics): per document, the token count,
+    distinct-token count, type/token ratio and the most-frequent-token
+    share.  A document lives in ONE row, so the whole computation is
+    per-batch — Arrow split, one cython (doc, term) groupby-count, one
+    grouped max/size reduction — with NO shuffle at all; the oracle mirrors
+    the identical integer counts and divisions in SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, offs = _split_tokens_arrow(t["text"])
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        frame = pd.DataFrame({"doc_id": np.repeat(did, counts),
+                              "tok": flat})
+        per_tok = (frame.groupby(["doc_id", "tok"], sort=False)
+                   .size().reset_index(name="c"))
+        agg = (per_tok.groupby("doc_id", sort=False)
+               .agg(n_types=("c", "size"), max_c=("c", "max"))
+               .reindex(did))
+        n_tok = counts.astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(did, type=pa.int64()),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_types": pa.array(agg["n_types"].to_numpy().astype(np.int64)),
+            "type_token_ratio": pa.array(round_half_away(
+                agg["n_types"].to_numpy() / n_tok, 6)),
+            "top_token_frac": pa.array(round_half_away(
+                agg["max_c"].to_numpy() / n_tok, 6)),
+        })
+
+    return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 class BpeTokenCounter:
     """Actor-pool stage: the BPE-ish pre-tokenizer regex (letter runs /
     digit runs / punctuation runs — the GPT-2 pre-tokenization shape,
