@@ -1052,3 +1052,30 @@ class TestKmeansEmbeddings:
         assert got["vec_id"].tolist() == df["vec_id"].tolist()
         assert got["cluster"].tolist() == [int(x) for x in want]
         assert got["cluster"].nunique() > 1  # actually clusters something
+
+    def test_window_bucket_count_invariance(self, ray_session):
+        """Window results must not depend on the coarse-bucket modulus —
+        it only re-partitions complete key groups."""
+        import ray.data
+
+        from imc_ray.relational import per_key_windows
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 50, 800).astype("int64"),
+            "ord": np.arange(800, dtype="int64"),
+            "v": rng.normal(size=800),
+        })
+
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["k", "ord"], kind="stable")
+            g["cum"] = g.groupby("k", sort=False)["v"].cumsum()
+            return g[["k", "ord", "cum"]]
+
+        outs = []
+        for b in (2, 64):
+            ds = ray.data.from_pandas(df).repartition(5)
+            outs.append(per_key_windows(ds, "k", fn, n_buckets=b)
+                        .to_pandas().sort_values("ord")
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
