@@ -692,9 +692,19 @@ def kmeans_embeddings(sf_dir: str, k: int = 8,
                              "dim": pa.array(dims.astype(np.int64)),
                              "s": pa.array(s, type=pa.float64())})
 
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby(["cluster", "dim"])
-               .aggregate(_Sum("s", alias_name="s")).to_pandas())
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        # routed reduction: each BLOCK emits ≤ k·(dim+1) partial rows, so
+        # below the bound one driver pass sums them (no shuffle per
+        # iteration — the dominant fixed cost at bench scale); above it the
+        # same rows reduce through a grouped Sum.  Either order feeds the
+        # float32-rounded update, so labels stay partition-invariant.
+        k_rows = c.shape[0] * (c.shape[1] + 1)
+        if ds.num_blocks() * k_rows <= 1_000_000:
+            agg = (parts.to_pandas()
+                   .groupby(["cluster", "dim"], as_index=False)["s"].sum())
+        else:
+            agg = (parts.groupby(["cluster", "dim"])
+                   .aggregate(_Sum("s", alias_name="s")).to_pandas())
         piv = agg.pivot(index="cluster", columns="dim", values="s")
         new_c = c.copy()
         for j in piv.index:
