@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + dedup family
         "quality_scores": T.quality_scores,
         "repetition_stats": T.repetition_stats,
+        "pack_sequences_documents": R.pack_sequences_documents,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
         "fingerprint_roll64": lambda sf: T.fingerprint_documents(sf)[["doc_id", "roll64"]],
         "lang_id_documents": T.lang_id_documents,
@@ -469,6 +470,21 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(length(text) AS BIGINT) - ({_ntok} - 1))
                          / CAST(greatest({_ntok}, 1) AS DOUBLE), 4) AS avg_token_len,
                    round({_ntok} / ({_ntok} + 100.0), 4) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "pack_sequences_documents": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(SUM(len(string_split(text, ' ')))
+                           OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_tok,
+                   CAST(coalesce(SUM(len(string_split(text, ' ')))
+                           OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) // 256
+                        AS BIGINT) AS seq_id
             FROM documents ORDER BY doc_id
         """,
         "repetition_stats": """

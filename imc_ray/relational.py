@@ -1817,3 +1817,101 @@ def moving_avg_user_value(sf_dir: str) -> pd.DataFrame:
     out = per_key_windows(ds, "user_id", f).to_pandas()
     out = out.sort_values("event_id").reset_index(drop=True)
     return _r(out, ["mov_avg"], 6)
+
+
+def global_prefix_sum(ds: ray.data.Dataset, order_col: str, val_col: str,
+                      n_buckets: int | None = None) -> ray.data.Dataset:
+    """Distributed EXACT exclusive prefix sum of ``val_col`` in ``order_col``
+    order — ``SUM(val) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` WITHOUT a global sort into one task (the running-sum
+    sibling of :func:`global_row_number`, same sampled-range-bucket shape):
+    sampled boundaries bucket the rows by ``order_col``, per-bucket sums
+    cumsum into bucket offsets on the driver (≤ n_buckets values), and each
+    bucket computes offset + local sorted exclusive cumsum.  Integer-exact
+    (int64 values; summation is associative).  Requires unique
+    ``order_col`` values (the deterministic total order).
+
+    Emits (order_col, val_col, "pre") rows."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return ray.data.from_arrow(pa.table({
+            order_col: pa.array([], type=types[order_col]),
+            val_col: pa.array([], type=types[val_col]),
+            "pre": pa.array([], type=pa.int64())}))
+    if n_buckets is None:
+        n_buckets = min(1024, max(32, n // 2_000_000))
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = np.sort(t[order_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        num = min(len(v), max(16, len(v) // 1000))
+        idx = np.linspace(0, len(v) - 1, num=num).astype(np.int64)
+        return pa.table({"v": pa.array(v[idx], type=pa.float64())})
+
+    pool = np.sort(ds.map_batches(sample, batch_format="pyarrow")
+                   .to_pandas()["v"].to_numpy())
+    cuts = np.linspace(0, len(pool) - 1, num=n_buckets + 1)[1:-1]
+    bounds = np.unique(pool[cuts.astype(np.int64)])
+    bounds_ref = ray.put(bounds)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        key = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(ray.get(bounds_ref), key, side="left")
+        return pa.table({
+            "bucket": pa.array(b, type=pa.int64()),
+            order_col: t[order_col], val_col: t[val_col]})
+
+    keyed = ds.map_batches(bucketed, batch_format="pyarrow").materialize()
+    sums = (keyed.groupby("bucket").aggregate(Sum(val_col, alias_name="s"))
+            .to_pandas().sort_values("bucket"))
+    offs = np.zeros(len(bounds) + 1, dtype=np.int64)
+    np.put(offs, sums["bucket"].to_numpy(),
+           sums["s"].to_numpy().astype(np.int64))
+    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    offs_ref = ray.put(offs)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        v = g[val_col].to_numpy().astype(np.int64)
+        base = int(ray.get(offs_ref)[int(g["bucket"].iloc[0])])
+        g["pre"] = base + np.concatenate([[0], np.cumsum(v)[:-1]])
+        return g[[order_col, val_col, "pre"]]
+
+    return keyed.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def pack_sequences_documents(sf_dir: str, budget: int = 256) -> pd.DataFrame:
+    """Concatenate-and-chunk sequence packing — how LLM pretraining corpora
+    lay documents into fixed-token-budget training sequences (public
+    practice, e.g. GPT-2/T5 packing): documents concatenate in doc_id
+    order; each document's start offset in the global token stream is the
+    exclusive prefix sum of token counts, and its sequence id is
+    ``start_tok // budget``.  Per-doc token counts are one Arrow kernel;
+    the offsets come from :func:`global_prefix_sum` (bucketed, no global
+    sort); everything downstream is per-row arithmetic.  Oracle: the same
+    window SUM + floor division in SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ntok(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.count_substring(t["text"], " "),
+                           pa.scalar(1)), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    counted = ds.map_batches(ntok, batch_format="pyarrow")
+    pre = global_prefix_sum(counted, "doc_id", "n_tokens")
+
+    def seq(t: pa.Table) -> pa.Table:
+        start = t["pre"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "start_tok": pa.array(start.astype(np.int64)),
+            "seq_id": pa.array((start // budget).astype(np.int64)),
+        })
+
+    out = pre.map_batches(seq, batch_format="pyarrow").to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1079,3 +1079,28 @@ class TestKmeansEmbeddings:
                         .to_pandas().sort_values("ord")
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGlobalPrefixSum:
+    def test_prefix_sum_exact_and_bucket_invariant(self, ray_session):
+        """global_prefix_sum must equal the single-node exclusive cumsum
+        exactly, for any bucket modulus."""
+        import ray.data
+
+        from imc_ray.relational import global_prefix_sum
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "k": rng.permutation(np.arange(3000)).astype("int64"),
+            "v": rng.integers(0, 40, 3000).astype("int64"),
+        })
+        want = df.sort_values("k").reset_index(drop=True)
+        want["pre"] = np.concatenate([[0],
+                                      np.cumsum(want["v"].to_numpy())[:-1]])
+        for b in (4, 64):
+            ds = ray.data.from_pandas(df).repartition(7)
+            got = (global_prefix_sum(ds, "k", "v", n_buckets=b)
+                   .to_pandas().sort_values("k").reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got.astype({"pre": "int64"}),
+                want.rename(columns={})[["k", "v", "pre"]])
