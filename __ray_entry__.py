@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.quality_scores,
         "repetition_stats": T.repetition_stats,
         "pack_sequences_documents": R.pack_sequences_documents,
+        "curation_pipeline": T.curation_pipeline,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
         "fingerprint_roll64": lambda sf: T.fingerprint_documents(sf)[["doc_id", "roll64"]],
         "lang_id_documents": T.lang_id_documents,
@@ -471,6 +472,24 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest({_ntok}, 1) AS DOUBLE), 4) AS avg_token_len,
                    round({_ntok} / ({_ntok} + 100.0), 4) AS quality
             FROM documents ORDER BY doc_id
+        """,
+        "curation_pipeline": """
+            WITH f AS (
+                SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 30 AND lang = 'en'
+            ), s AS (
+                SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+                FROM f GROUP BY text
+            )
+            SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         "pack_sequences_documents": """
             SELECT doc_id,

@@ -1412,3 +1412,61 @@ def split_assign_documents(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def curation_pipeline(sf_dir: str, min_tokens: int = 30,
+                      lang: str = "en") -> pd.DataFrame:
+    """End-to-end training-data curation composition — the canonical
+    pretraining-corpus flow chained as ONE lazy Dataset pipeline: length/
+    quality filter (≥ ``min_tokens`` whitespace tokens) → language filter →
+    exact dedup survivor (min doc_id per distinct text, 128-bit key pair)
+    → deterministic train/val/test assignment (the split_assign hash) →
+    per-split (docs, tokens) totals.  Every stage is a batch transform; the
+    only shuffle is the dedup groupby over thin 24-byte rows; the output is
+    3 rows.  Oracle: the identical filters, GROUP BY text survivor, hash
+    split and totals in SQL."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(pc.add(pc.count_substring(t["text"], " "),
+                              pa.scalar(1)), pa.int64())
+        keep = pc.greater_equal(ntok, pa.scalar(min_tokens))
+        if lang is not None:
+            keep = pc.and_(keep, pc.equal(t["lang"], pa.scalar(lang)))
+        t = t.append_column("n_tokens", ntok).filter(keep)
+        s = t["text"].to_pandas()
+        h1 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="imcray-dedup-h1-").to_numpy().view(np.int64)
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="imcray-dedup-h2-").to_numpy().view(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": t["n_tokens"],
+                         "h1": pa.array(h1), "h2": pa.array(h2)})
+
+    survivors = (ds.map_batches(keyed, batch_format="pyarrow")
+                 .groupby(["h1", "h2"])
+                 .aggregate(_Min("doc_id", alias_name="doc_id"),
+                            _Min("n_tokens", alias_name="n_tokens")))
+
+    def split(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(2**32)
+        idx = np.where(h < np.uint64(int(0.8 * 2**32)), 0,
+                       np.where(h < np.uint64(int(0.9 * 2**32)), 1, 2))
+        return pa.table({"split": pa.array(names[idx].tolist(),
+                                           type=pa.string()),
+                         "n_tokens": t["n_tokens"]})
+
+    out = (survivors.map_batches(split, batch_format="pyarrow")
+           .groupby("split")
+           .aggregate(_Count(alias_name="n_docs"),
+                      _Sum("n_tokens", alias_name="total_tokens"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
