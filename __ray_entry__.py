@@ -131,6 +131,12 @@ def _media_frame_features(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _media_decode_stats(sf_dir: str) -> pd.DataFrame:
+    from imc_ray import multimodal
+
+    return multimodal.media_decode_stats(sf_dir)
+
+
 def _geo_points(sf_dir: str) -> pd.DataFrame:
     """M2/M4 parse surface: exploded projected points (rows-only check)."""
     from imc_ray import stages
@@ -273,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": _geo_knn,
         "media_features": _media_features,
         "media_frame_features": _media_frame_features,
+        # REAL pure-numpy decode (BMP/WAV/concatenated-BMP): rows-only —
+        # binary decode is not SQL-expressible; round-trip pytest-asserted
+        "media_decode_stats": _media_decode_stats,
     }
 
 
