@@ -116,3 +116,68 @@ def test_empty_corpus_pipeline(ray_session):
     assert len(res["representatives"]) == 0
     assert res["tile_cluster"].count() == 0
     assert len(pipeline.full_labels(res)) == 0
+
+
+class TestCodecProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+    def test_bmp_roundtrip_any_shape(self, h, w, seed):
+        from imc_ray.multimodal import decode_bmp, encode_bmp
+
+        img = np.random.Generator(np.random.PCG64(seed)).integers(
+            0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=500),
+           st.sampled_from([8000, 16000, 44100]))
+    def test_wav_roundtrip_any_samples(self, samples, rate):
+        from imc_ray.multimodal import decode_wav, encode_wav
+
+        s = np.asarray(samples, dtype=np.int16)
+        r, got = decode_wav(encode_wav(s, rate))
+        assert r == rate
+        np.testing.assert_array_equal(got, s)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.integers(1, 30), st.integers(1, 30))
+    def test_nearest_resize_shape_and_membership(self, h, w, oh, ow):
+        from imc_ray.multimodal import nearest_resize
+
+        img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+        out = nearest_resize(img, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        # every output pixel is SOME input pixel (no interpolation)
+        flat_in = {tuple(p) for p in img.reshape(-1, 3)}
+        assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+
+
+class TestDeconGramProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.sampled_from("abc"), min_size=8, max_size=20),
+           st.lists(st.sampled_from("abc"), min_size=8, max_size=20))
+    def test_gram_hash_sequence_sensitivity(self, t1, t2):
+        """The order-dependent 8-token mixes must agree exactly when the
+        token sequences agree and (for these tiny alphabets) differ when
+        they differ — the decontamination key contract."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from imc_ray.textops import _DECON_C1
+
+        def h(tokens):
+            th = (pd.util.hash_pandas_object(
+                pd.Series(list(tokens), dtype=object), index=False,
+                hash_key="imcray-decon-tk1").to_numpy().astype(np.uint64))
+            win = np.lib.stride_tricks.sliding_window_view(th, 8)
+            return set((win @ _DECON_C1[:8]).tolist())
+
+        if t1 == t2:
+            assert h(t1) == h(t2)
+        else:
+            g1 = {" ".join(t1[i:i + 8]) for i in range(len(t1) - 7)}
+            g2 = {" ".join(t2[i:i + 8]) for i in range(len(t2) - 7)}
+            # shared STRING grams ⇒ shared hash keys (never a false negative)
+            if g1 & g2:
+                assert h(t1) & h(t2)
