@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "pack_sequences_documents": R.pack_sequences_documents,
         "curation_pipeline": T.curation_pipeline,
+        "stratified_sample_documents": T.stratified_sample_documents,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
         "fingerprint_roll64": lambda sf: T.fingerprint_documents(sf)[["doc_id", "roll64"]],
         "lang_id_documents": T.lang_id_documents,
@@ -481,6 +482,18 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest({_ntok}, 1) AS DOUBLE), 4) AS avg_token_len,
                    round({_ntok} / ({_ntok} + 100.0), 4) AS quality
             FROM documents ORDER BY doc_id
+        """,
+        "stratified_sample_documents": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+            FROM documents
+            WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                  % 4294967296
+                  < CASE lang WHEN 'en' THEN 3865470566
+                              WHEN 'de' THEN 2147483648
+                              WHEN 'es' THEN 2147483648
+                              WHEN 'zh' THEN 1073741824
+                              ELSE 0 END
+            GROUP BY lang ORDER BY lang
         """,
         "curation_pipeline": """
             WITH f AS (

@@ -1470,3 +1470,42 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 30,
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_tokens"] = out["total_tokens"].astype("int64")
     return out.sort_values("split").reset_index(drop=True)
+
+
+#: per-language keep fractions for the stratified sampling operator — the
+#: data-mixing knob of a curation pipeline (up-/down-weight sources)
+_STRATA_FRACTIONS = {"en": 0.9, "de": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def stratified_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sampling — per-language keep fractions
+    (the corpus-mixing primitive: up-weight one source, down-weight
+    another) using the same multiplicative-hash keep-rule as
+    ``sample_orders_count``, so membership is stable under re-runs,
+    re-partitioning and corpus growth.  Pure per-batch arithmetic + one
+    tiny grouped count; the oracle mirrors the hash and the per-language
+    CASE thresholds exactly."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    langs = sorted(_STRATA_FRACTIONS)
+    cuts = np.array([int(_STRATA_FRACTIONS[l] * 2**32) for l in langs],
+                    dtype=np.uint64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        lang_idx = pd.Series(t["lang"].to_pandas()).map(
+            {l: i for i, l in enumerate(langs)}).to_numpy()
+        mask = np.zeros(len(did), dtype=bool)
+        known = ~pd.isna(lang_idx)  # langs outside the strata map drop
+        ki = lang_idx[known].astype(np.int64)
+        mask[known] = h[known] < cuts[ki]
+        return t.filter(pa.array(mask))
+
+    out = (ds.map_batches(keep, batch_format="pyarrow")
+           .groupby("lang").aggregate(_Count(alias_name="n_kept"))
+           .to_pandas())
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
