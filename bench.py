@@ -142,6 +142,13 @@ def run_bench() -> dict:
     timed("decontaminate_documents",
           lambda: textops.decontaminate_documents(SF_DIR))
     timed("kmeans_embeddings", lambda: vector.kmeans_embeddings(SF_DIR))
+    timed("curation_pipeline", lambda: textops.curation_pipeline(SF_DIR))
+    timed("pack_sequences_documents",
+          lambda: relational.pack_sequences_documents(SF_DIR))
+
+    # --- real media decode (BMP/WAV/concatenated-BMP, pure numpy) ----------
+    from imc_ray import multimodal
+    timed("media_decode_stats", lambda: multimodal.media_decode_stats(SF_DIR))
 
     total = round(sum(queries.values()), 3)
     out = {
