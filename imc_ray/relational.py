@@ -80,7 +80,15 @@ def per_key_windows(ds: "ray.data.Dataset", key: str, bucket_fn,
     shift = np.uint64(64 - int(np.log2(n_buckets)))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            # string/binary keys: vectorized 64-bit content hash (stable
+            # across runs and partitionings — fixed hash_key)
+            k = (pd.util.hash_pandas_object(
+                col.to_pandas(), index=False,
+                hash_key="imcray-windowkey").to_numpy().astype(np.uint64))
         h = (k * np.uint64(0x9E3779B97F4A7C15)) >> shift
         return t.append_column("_wb", pa.array(h.astype(np.int64)))
 

@@ -1185,3 +1185,32 @@ class TestRealMediaCodecs:
                                           use_stub=False)
         fb = frames.take_batch(6, batch_format="pyarrow")
         assert set(fb["frame_idx"].to_pylist()) <= {0, 1, 2}
+
+
+class TestWindowStringKeys:
+    def test_per_key_windows_string_keys(self, ray_session):
+        """String partition keys hash through the same coarse buckets with
+        identical per-key semantics."""
+        import ray.data
+
+        from imc_ray.relational import per_key_windows
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "k": rng.choice([f"user-{i}" for i in range(40)], 600),
+            "ord": np.arange(600, dtype="int64"),
+            "v": rng.integers(0, 10, 600).astype("int64"),
+        })
+
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["k", "ord"], kind="stable")
+            g["cum"] = g.groupby("k", sort=False)["v"].cumsum()
+            return g[["k", "ord", "cum"]]
+
+        ds = ray.data.from_pandas(df).repartition(4)
+        got = (per_key_windows(ds, "k", fn, n_buckets=8)
+               .to_pandas().sort_values("ord").reset_index(drop=True))
+        ref = df.sort_values(["k", "ord"], kind="stable")
+        ref = ref.assign(cum=ref.groupby("k")["v"].cumsum())
+        ref = ref.sort_values("ord").reset_index(drop=True)
+        assert got["cum"].tolist() == ref["cum"].tolist()
