@@ -831,7 +831,9 @@ def embedding_norms(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def f(t: pa.Table) -> pa.Table:
-        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        from .vector import _emb_matrix
+
+        m = _emb_matrix(t).astype(np.float64)
         return pa.table({
             "vec_id": t["vec_id"],
             "l2": pa.array(round_half_away(np.sqrt((m * m).astype(np.float64).sum(axis=1)), 4)),

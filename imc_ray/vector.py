@@ -30,7 +30,22 @@ from .util import round_half_away
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:
-    return np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    """(n, dim) float32 matrix straight off the Arrow list buffers — the
+    child values reshape by the (uniform) list width with no per-row
+    Python list materialization (ragged input falls back)."""
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = np.diff(offs)
+    if (widths != widths[0]).any():
+        return np.asarray(col.to_pylist(), dtype=np.float32)
+    vals = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                      dtype=np.float32)
+    n, d = len(widths), int(widths[0])
+    return vals[offs[0]:offs[0] + n * d].reshape(n, d)
 
 
 def head_by_vec_id(ds, n: int) -> pd.DataFrame:
