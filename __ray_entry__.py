@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": R.pack_sequences_documents,
         "curation_pipeline": T.curation_pipeline,
         "stratified_sample_documents": T.stratified_sample_documents,
+        "chunk_documents": T.chunk_documents,
         "fingerprint_md5": lambda sf: T.fingerprint_documents(sf)[["doc_id", "fp"]],
         "fingerprint_roll64": lambda sf: T.fingerprint_documents(sf)[["doc_id", "roll64"]],
         "lang_id_documents": T.lang_id_documents,
@@ -482,6 +483,20 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest({_ntok}, 1) AS DOUBLE), 4) AS avg_token_len,
                    round({_ntok} / ({_ntok} + 100.0), 4) AS quality
             FROM documents ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(w[i*16 + 1 : i*16 + 24], ' ')
+                       AS chunk_text,
+                   CAST(len(w[i*16 + 1 : i*16 + 24]) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(0, (len(w) - 1) // 16)) AS i
+                  FROM toks)
+            ORDER BY doc_id, chunk_idx
         """,
         "stratified_sample_documents": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_kept

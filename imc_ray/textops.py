@@ -1509,3 +1509,54 @@ def stratified_sample_documents(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out["n_kept"] = out["n_kept"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def chunk_documents(sf_dir: str, size: int = 24,
+                    overlap: int = 8) -> pd.DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-pipeline
+    preprocessing primitive (documents split into ``size``-token windows
+    every ``size − overlap`` tokens, so consecutive chunks share
+    ``overlap`` tokens).  Fully vectorized: ONE Arrow split per batch, then
+    per stride offset j one ``pc.list_slice`` + ``pc.binary_join`` over
+    every document at once (the loop is over the ≤ max_chunks_per_doc
+    offsets, not over rows), keeping only documents whose token count
+    reaches the window start.  1 row → n chunk rows (flat-map shape).
+    Oracle: the identical slice arithmetic via generate_series + list
+    slicing in SQL."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        dids, idxs, texts, lens = [], [], [], []
+        max_chunks = int((ntok.max() - 1) // stride + 1) if len(ntok) else 0
+        for j in range(max_chunks):
+            start = j * stride
+            live = ntok > start
+            if not live.any():
+                break
+            sl = pc.list_slice(toks, start, start + size)
+            txt = pc.binary_join(sl, " ")
+            n = pc.list_value_length(sl).to_numpy(zero_copy_only=False)
+            dids.append(t["doc_id"].to_numpy(zero_copy_only=False)[live])
+            idxs.append(np.full(int(live.sum()), j, dtype=np.int64))
+            texts.append(np.asarray(txt.to_pandas())[live])
+            lens.append(n[live].astype(np.int64))
+        if not dids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "chunk_idx": pa.array([], type=pa.int64()),
+                             "chunk_text": pa.array([], type=pa.string()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "chunk_idx": pa.array(np.concatenate(idxs)),
+            "chunk_text": pa.array(np.concatenate(texts), type=pa.string()),
+            "n_tokens": pa.array(np.concatenate(lens)),
+        })
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
