@@ -125,6 +125,10 @@ def split_bmp_frames(payload: bytes) -> list[bytes]:
         if payload[pos:pos + 2] != b"BM":
             raise ValueError(f"bad frame magic at offset {pos}")
         size = struct.unpack_from("<I", payload, pos + 2)[0]
+        # a corrupt size below the 54-byte header floor would stall the
+        # walk (size 0 never advances) or split garbage — fail loudly
+        if size < 54 or pos + size > len(payload):
+            raise ValueError(f"bad frame size {size} at offset {pos}")
         frames.append(payload[pos:pos + size])
         pos += size
     return frames
@@ -405,7 +409,11 @@ def synth_media_table(ids: np.ndarray) -> pa.Table:
     for i in ids.tolist():
         kind = i % 3
         if kind == 0:
-            h, w = 24 + (i % 3) * 8, 32
+            # shape varies by (i//3)%3 — i%3 is 0 by construction here, so
+            # the modulus must be over the image SEQUENCE index; widths
+            # 30/31/32 exercise all 4-byte row-padding cases (2/3/0)
+            v = (i // 3) % 3
+            h, w = 24 + v * 8, 30 + v
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack([(xx * (3 + i % 5)) % 256,
                             (yy * (7 + i % 11)) % 256,

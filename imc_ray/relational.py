@@ -1489,6 +1489,52 @@ def events_monthly(sf_dir: str) -> pd.DataFrame:
     return _r(out, ["sum_value"])
 
 
+def _range_bucket_keyed(ds: ray.data.Dataset, key_col: str,
+                        carry_cols: list[str], n_buckets: int,
+                        sgn: float = 1.0) -> tuple["ray.data.Dataset", int]:
+    """Sampled-range bucketing SHARED by :func:`global_row_number` and
+    :func:`global_prefix_sum` (round-4 review: the two had drifted into
+    verbatim copies): per-batch subsample proportional to the batch's row
+    share (a fixed count over-weights small blocks — load-balance only;
+    bucket exactness is boundary-invariant, test-asserted) → driver
+    quantile cuts → per-row bucket ids via ``searchsorted``.  Returns the
+    materialized keyed Dataset (bucket + key + carry columns) and the
+    boundary count."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = np.sort(sgn * t[key_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        num = min(len(v), max(16, len(v) // 1000))
+        idx = np.linspace(0, len(v) - 1, num=num).astype(np.int64)
+        return pa.table({"v": pa.array(v[idx], type=pa.float64())})
+
+    pool = np.sort(ds.map_batches(sample, batch_format="pyarrow")
+                   .to_pandas()["v"].to_numpy())
+    cuts = np.linspace(0, len(pool) - 1, num=n_buckets + 1)[1:-1]
+    bounds = np.unique(pool[cuts.astype(np.int64)])
+    bounds_ref = ray.put(bounds)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        key = sgn * t[key_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(ray.get(bounds_ref), key, side="left")
+        cols = {"bucket": pa.array(b, type=pa.int64()), key_col: t[key_col]}
+        for c in carry_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    keyed = ds.map_batches(bucketed, batch_format="pyarrow").materialize()
+    return keyed, len(bounds)
+
+
+def _bucket_offsets(n_bounds: int, buckets: np.ndarray,
+                    totals: np.ndarray) -> np.ndarray:
+    """Exclusive prefix offsets per bucket from the (bucket, total) rows —
+    the driver-side cumsum both bucketed operators share."""
+    offs = np.zeros(n_bounds + 1, dtype=np.int64)
+    np.put(offs, buckets, totals.astype(np.int64))
+    return np.concatenate([[0], np.cumsum(offs)[:-1]])
+
+
 def global_row_number(ds: ray.data.Dataset, key_col: str, tie_col: str,
                       descending: bool = False,
                       n_buckets: int | None = None) -> ray.data.Dataset:
@@ -1521,38 +1567,12 @@ def global_row_number(ds: ray.data.Dataset, key_col: str, tie_col: str,
     if n_buckets is None:
         n_buckets = min(1024, max(32, n // 2_000_000))
     sgn = -1.0 if descending else 1.0
-
-    def sample(t: pa.Table) -> pa.Table:
-        v = np.sort(sgn * t[key_col].to_numpy(zero_copy_only=False)
-                    .astype(np.float64))
-        # sample count proportional to the batch's row share (round-3
-        # advice: a fixed 64 per batch over-weights small blocks and lets a
-        # few hot blocks concentrate rows into one bucket) — load-balance
-        # only; rank exactness is bucket-invariant (test-asserted)
-        num = min(len(v), max(16, len(v) // 1000))
-        idx = np.linspace(0, len(v) - 1, num=num).astype(np.int64)
-        return pa.table({"v": pa.array(v[idx], type=pa.float64())})
-
-    pool = np.sort(ds.map_batches(sample, batch_format="pyarrow")
-                   .to_pandas()["v"].to_numpy())
-    cuts = np.linspace(0, len(pool) - 1, num=n_buckets + 1)[1:-1]
-    bounds = np.unique(pool[cuts.astype(np.int64)])
-    bounds_ref = ray.put(bounds)
-
-    def bucketed(t: pa.Table) -> pa.Table:
-        key = sgn * t[key_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.searchsorted(ray.get(bounds_ref), key, side="left")
-        return pa.table({
-            "bucket": pa.array(b, type=pa.int64()),
-            key_col: t[key_col], tie_col: t[tie_col]})
-
-    keyed = ds.map_batches(bucketed, batch_format="pyarrow").materialize()
+    keyed, n_bounds = _range_bucket_keyed(ds, key_col, [tie_col],
+                                          n_buckets, sgn)
     counts = (keyed.groupby("bucket").aggregate(Count(alias_name="n"))
               .to_pandas().sort_values("bucket"))
-    offs = np.zeros(len(bounds) + 1, dtype=np.int64)
-    np.put(offs, counts["bucket"].to_numpy(),
-           counts["n"].to_numpy())
-    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    offs = _bucket_offsets(n_bounds, counts["bucket"].to_numpy(),
+                           counts["n"].to_numpy())
     offs_ref = ray.put(offs)
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
@@ -1853,34 +1873,11 @@ def global_prefix_sum(ds: ray.data.Dataset, order_col: str, val_col: str,
             "pre": pa.array([], type=pa.int64())}))
     if n_buckets is None:
         n_buckets = min(1024, max(32, n // 2_000_000))
-
-    def sample(t: pa.Table) -> pa.Table:
-        v = np.sort(t[order_col].to_numpy(zero_copy_only=False)
-                    .astype(np.float64))
-        num = min(len(v), max(16, len(v) // 1000))
-        idx = np.linspace(0, len(v) - 1, num=num).astype(np.int64)
-        return pa.table({"v": pa.array(v[idx], type=pa.float64())})
-
-    pool = np.sort(ds.map_batches(sample, batch_format="pyarrow")
-                   .to_pandas()["v"].to_numpy())
-    cuts = np.linspace(0, len(pool) - 1, num=n_buckets + 1)[1:-1]
-    bounds = np.unique(pool[cuts.astype(np.int64)])
-    bounds_ref = ray.put(bounds)
-
-    def bucketed(t: pa.Table) -> pa.Table:
-        key = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.searchsorted(ray.get(bounds_ref), key, side="left")
-        return pa.table({
-            "bucket": pa.array(b, type=pa.int64()),
-            order_col: t[order_col], val_col: t[val_col]})
-
-    keyed = ds.map_batches(bucketed, batch_format="pyarrow").materialize()
+    keyed, n_bounds = _range_bucket_keyed(ds, order_col, [val_col], n_buckets)
     sums = (keyed.groupby("bucket").aggregate(Sum(val_col, alias_name="s"))
             .to_pandas().sort_values("bucket"))
-    offs = np.zeros(len(bounds) + 1, dtype=np.int64)
-    np.put(offs, sums["bucket"].to_numpy(),
-           sums["s"].to_numpy().astype(np.int64))
-    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    offs = _bucket_offsets(n_bounds, sums["bucket"].to_numpy(),
+                           sums["s"].to_numpy())
     offs_ref = ray.put(offs)
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:

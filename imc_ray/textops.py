@@ -1199,15 +1199,12 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     n_docs = ds.count()
 
     def tf_fn(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        tokens, offsets = _split_tokens_arrow(t["text"])
         did = t["doc_id"].to_numpy(zero_copy_only=False)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
         per_doc = np.diff(offsets)
         flat = pd.DataFrame({
             "doc_id": np.repeat(did, per_doc),
-            "term": toks.values.to_pandas().to_numpy(),
+            "term": tokens,
         })
         agg = (flat.groupby(["doc_id", "term"], sort=False, as_index=False)
                .size().rename(columns={"size": "tf"}))
@@ -1299,12 +1296,9 @@ def decontaminate_documents(sf_dir: str, n_gram: int = 4,
                           "h1": pa.array([], type=pa.int64()),
                           "h2": pa.array([], type=pa.int64()),
                           "bl": pa.array([], type=pa.bool_())})
-        toks = pc.split_pattern(t["text"], " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
+        flat, offs_d = _split_tokens_arrow(t["text"])
         did = t["doc_id"].to_numpy(zero_copy_only=False)
-        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        flat = toks.values.to_pandas().to_numpy()
+        counts = np.diff(offs_d)
         if len(flat) < w:
             return empty
         th = (pd.util.hash_pandas_object(
@@ -1530,7 +1524,10 @@ def chunk_documents(sf_dir: str, size: int = 24,
 
     def chunks(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
         ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
         dids, idxs, texts, lens = [], [], [], []
         max_chunks = int((ntok.max() - 1) // stride + 1) if len(ntok) else 0
         for j in range(max_chunks):
@@ -1538,13 +1535,21 @@ def chunk_documents(sf_dir: str, size: int = 24,
             live = ntok > start
             if not live.any():
                 break
+            if not live.all():
+                # shrink to the surviving docs so per-offset work tracks
+                # the docs still emitting chunks, not the whole batch
+                # (round-4 review: one long doc in a short-doc block made
+                # every offset slice+join all rows before masking)
+                toks = toks.filter(pa.array(live))
+                ntok, did = ntok[live], did[live]
+                live = np.ones(len(did), dtype=bool)
             sl = pc.list_slice(toks, start, start + size)
             txt = pc.binary_join(sl, " ")
             n = pc.list_value_length(sl).to_numpy(zero_copy_only=False)
-            dids.append(t["doc_id"].to_numpy(zero_copy_only=False)[live])
-            idxs.append(np.full(int(live.sum()), j, dtype=np.int64))
-            texts.append(np.asarray(txt.to_pandas())[live])
-            lens.append(n[live].astype(np.int64))
+            dids.append(did)
+            idxs.append(np.full(len(did), j, dtype=np.int64))
+            texts.append(np.asarray(txt.to_pandas()))
+            lens.append(n.astype(np.int64))
         if not dids:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "chunk_idx": pa.array([], type=pa.int64()),
