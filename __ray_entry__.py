@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": V.ann_lsh,
         "ann_ivf": V.ann_ivf,
         "embedding_near_dup": V.embedding_near_dup,
+        # SemDeDup composition (kmeans partition → cluster-scoped LSH
+        # near-dup → min-id survivor); iterative+approximate — rows-only,
+        # exact pytest oracle mirrors the same candidate scheme
+        "semantic_dedup_embeddings": V.semantic_dedup_embeddings,
         "embedding_exact_dup_groups": V.embedding_exact_dup_groups,
         "top_tokens": T.top_tokens,
         "top_bigrams": T.top_bigrams,

@@ -192,22 +192,93 @@ def parse_tracks(url: str, text: str, with_ts: bool = True):
     return out
 
 
+def list_flat(arr) -> tuple:
+    """ListArray → ``(values, offsets)`` with offsets normalized to start at
+    0 and ``values`` sliced to exactly the covered range, so callers may zip
+    offsets positionally against the flat child (a sliced/offset ListArray
+    would otherwise silently misalign — round-4 advice item)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values
+    if offs[0] != 0 or len(vals) != offs[-1]:
+        vals = vals.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+    return vals, offs
+
+
+# RE2 forms of the line/point grammar (named groups for pc.extract_regex).
+# Lines carry no embedded newlines (they come from a "\n" split), so RE2's
+# end-of-text ``$`` is equivalent to Python re's end-of-line ``$`` here.
+_TRACK_PAT = r"^TRACK (?P<k>\d+): (?P<rest>.+)$"
+_PT_PAT = (r"^(?P<lat>-?\d+\.\d{6}),(?P<lon>-?\d+\.\d{6}),"
+           r"(?P<ts>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})$")
+
+
+def parse_tracks_flat(urls, texts, with_ts: bool = True):
+    """Vectorized M2 for a whole batch: ONE Arrow newline split + ONE RE2
+    ``extract_regex`` pass over every line + ONE over every point — the
+    batch-grammar replacement for the per-page :func:`parse_tracks` loop
+    that dominated the flagship's parse stage (round-4 verdict item 1).
+    Accept/reject semantics are identical to :func:`parse_tracks` (asserted
+    against it in tests/test_extract.py): a track with any malformed point
+    is dropped whole; survivors need ≥ 2 points.
+
+    Returns ``(traj_id, offsets, lat, lon, ts)``: ``traj_id`` object ndarray
+    (n_tracks,), ``offsets`` int64 (n_tracks+1,) indexing the flat point
+    arrays ``lat``/``lon`` (and ``ts`` datetime64[us] when ``with_ts``).
+    """
+    pc = pa.compute
+    empty = (np.empty(0, dtype=object), np.zeros(1, dtype=np.int64),
+             np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64),
+             np.empty(0, dtype="datetime64[us]") if with_ts else None)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if len(texts) == 0:
+        return empty
+    lines, loffs = list_flat(pc.split_pattern(texts, "\n"))
+    if len(lines) == 0:
+        return empty
+    tm = pc.extract_regex(lines, _TRACK_PAT)
+    tvalid = pc.is_valid(tm).to_numpy(zero_copy_only=False)
+    if not tvalid.any():
+        return empty
+    line_doc = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(loffs))
+    tm = tm.filter(pa.array(tvalid))
+    track_doc = line_doc[tvalid]
+    pts, poffs = list_flat(pc.split_pattern(pc.struct_field(tm, "rest"), "; "))
+    counts = np.diff(poffs)  # rest matches ".+" → every track has ≥ 1 piece
+    pm = pc.extract_regex(pts, _PT_PAT)
+    pvalid = pc.is_valid(pm).to_numpy(zero_copy_only=False)
+    ok = (np.add.reduceat(pvalid, poffs[:-1]) == counts) & (counts >= 2)
+    if not ok.any():
+        return empty
+    pm = pm.filter(pa.array(np.repeat(ok, counts)))
+    lat = pc.struct_field(pm, "lat").cast(pa.float64()).to_numpy()
+    lon = pc.struct_field(pm, "lon").cast(pa.float64()).to_numpy()
+    ts = None
+    if with_ts:
+        ts = pc.strptime(pc.struct_field(pm, "ts"),
+                         format="%Y-%m-%dT%H:%M:%S",
+                         unit="us").to_numpy(zero_copy_only=False)
+    sel = pa.array(ok)
+    traj = pc.binary_join_element_wise(
+        urls.take(pa.array(track_doc[ok])).cast(pa.large_string()),
+        pc.struct_field(tm, "k").filter(sel).cast(pa.large_string()),
+        pa.scalar("#", type=pa.large_string())).to_pandas().to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts[ok])]).astype(np.int64)
+    return traj, offsets, lat, lon, ts
+
+
 def parse_tracks_batch(batch: pa.Table) -> pa.Table:
     """M2+M4 fused: pages text → exploded points with projected planar meters.
     Emits the POINTS schema; ``seq`` preserves per-trajectory order explicitly
-    (Ray Data block order is never relied on — SURVEY §2.10)."""
-    traj_ids, seqs, xs, ys, ts = [], [], [], [], []
-    urls = batch["url"].to_pylist()
-    texts = batch["text"].to_pylist()
-    for url, text in zip(urls, texts):
-        for traj_id, lat, lon, tss in parse_tracks(url, text):
-            x, y = geom.project_xy(lat, lon, ANCHOR_LAT, ANCHOR_LON)
-            traj_ids.append(np.full(len(x), traj_id, dtype=object))
-            seqs.append(np.arange(len(x), dtype=np.int32))
-            xs.append(x)
-            ys.append(y)
-            ts.append(tss)
-    if not traj_ids:
+    (Ray Data block order is never relied on — SURVEY §2.10).  Runs the
+    batch-vectorized grammar (:func:`parse_tracks_flat`)."""
+    traj, offs, lat, lon, ts = parse_tracks_flat(batch["url"], batch["text"])
+    if len(traj) == 0:
         return pa.table(
             {
                 "traj_id": pa.array([], type=pa.string()),
@@ -217,13 +288,17 @@ def parse_tracks_batch(batch: pa.Table) -> pa.Table:
                 "t": pa.array([], type=pa.timestamp("us")),
             }
         )
+    x, y = geom.project_xy(lat, lon, ANCHOR_LAT, ANCHOR_LON)
+    counts = np.diff(offs)
+    seq = np.arange(len(x), dtype=np.int64) - np.repeat(offs[:-1], counts)
     return pa.table(
         {
-            "traj_id": pa.array(np.concatenate(traj_ids).tolist(), type=pa.string()),
-            "seq": pa.array(np.concatenate(seqs), type=pa.int32()),
-            "x": pa.array(np.concatenate(xs), type=pa.float64()),
-            "y": pa.array(np.concatenate(ys), type=pa.float64()),
-            "t": pa.array(np.concatenate(ts), type=pa.timestamp("us")),
+            "traj_id": pa.array(np.repeat(traj, counts).tolist(),
+                                type=pa.string()),
+            "seq": pa.array(seq.astype(np.int32), type=pa.int32()),
+            "x": pa.array(x, type=pa.float64()),
+            "y": pa.array(y, type=pa.float64()),
+            "t": pa.array(ts, type=pa.timestamp("us")),
         }
     )
 

@@ -324,69 +324,159 @@ def mdl_partition(pts: np.ndarray, clamp: float = 1.0) -> np.ndarray:
     n = len(pts)
     if n < 2:
         return np.arange(n)
+    # Delegate to the batched kernel with a single trajectory so EVERY path
+    # (oracle, CSV map_groups route, flagship batched parse) shares one
+    # summation order — decisions are identical by construction.
+    cps, _ = mdl_partition_many(pts, np.asarray([0, n], dtype=np.int64), clamp)
+    return cps
+
+
+def _csum0(counts: np.ndarray) -> np.ndarray:
+    """Exclusive prefix sum → group start offsets for repeat/reduceat tricks."""
+    out = np.empty(len(counts) + 1, dtype=np.int64)
+    out[0] = 0
+    np.cumsum(counts, out=out[1:])
+    return out
+
+
+def mdl_partition_many(pts: np.ndarray, offsets: np.ndarray,
+                       clamp: float = 1.0):
+    """Batched approximate MDL partitioning of MANY trajectories at once.
+
+    ``pts`` is the concatenation of every trajectory's points; ``offsets``
+    (T+1,) delimits trajectories.  Decisions are IDENTICAL per trajectory to
+    :func:`mdl_partition` (asserted in tests): the algorithm runs in
+    lockstep rounds — every active trajectory finds its next characteristic
+    point per round — so each round is a handful of large vectorized ops
+    over the concatenated candidate triangles instead of ~30 small numpy
+    dispatches per trajectory restart (the round-5 flagship hot-kernel fix;
+    per-trajectory dispatch overhead dominated the parse/MDL stage).
+
+    Returns ``(cps_flat, cps_offsets)``: absolute indices into ``pts`` of
+    each trajectory's characteristic points, concatenated per trajectory in
+    walk order (``cps_offsets`` is (T+1,)).
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    T = len(offsets) - 1
+    N = len(pts)
+    if T == 0 or N == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(T + 1, dtype=np.int64)
     X = pts[:, 0]
     Y = pts[:, 1]
+    # global step arrays; entries at trajectory boundaries exist but are
+    # never referenced: step k is only used with s <= k <= c-1 <= end-2,
+    # all inside one trajectory (points of a trajectory are contiguous)
     sdx = X[1:] - X[:-1]
     sdy = Y[1:] - Y[:-1]
     step_len = np.hypot(sdx, sdy)
-    # cumulative no-partition cost: cost_nopar(i, j) = C[j] - C[i]
-    C = np.concatenate([[0.0], np.cumsum(_log2c(step_len, clamp))])
-    cps = [0]
-    start = 0
-    # The sequential TRACLUS walk extends curr until the first curr ≥ start+2
-    # with MDL_par(start, curr) > MDL_nopar(start, curr); a violation at
-    # curr = start+1 cannot split (the characteristic point would equal
-    # start) and just extends.  That "first violating curr" is computed here
-    # fully vectorized over all candidate currs per start — identical
-    # decisions to the stepwise walk, ~L× fewer numpy dispatches.
-    while start < n - 1:
-        m = n - start - 1  # candidate hypotheses c = start+1 .. n-1
-        adx = X[start + 1:] - X[start]          # (m,)
-        ady = Y[start + 1:] - Y[start]
+    # no-partition cost prefix, accumulated FROM EACH TRAJECTORY'S START so
+    # C[c] - C[s] is bit-identical to the single-trajectory cumsum (a global
+    # running sum would round differently and flip borderline MDL decisions)
+    step_cost = _log2c(step_len, clamp)
+    C = np.zeros(N, dtype=np.float64)
+    for t in range(T):
+        a, b = offsets[t], offsets[t + 1]
+        if b - a >= 2:
+            np.cumsum(step_cost[a:b - 1], out=C[a + 1:b])
+    start = offsets[:-1].copy()
+    end = offsets[1:]
+    n_pts = end - start
+    emit_t: list = []
+    emit_cp: list = []
+    # every non-empty trajectory emits its first point (mdl_partition's
+    # cps[0] = 0; for n == 1 it returns arange(1) = [0])
+    ne = np.nonzero(n_pts >= 1)[0]
+    emit_t.append(ne)
+    emit_cp.append(start[ne])
+    active = np.nonzero(n_pts >= 2)[0]
+    BIG = np.iinfo(np.int64).max
+    while len(active):
+        s = start[active]
+        e = end[active]
+        m = e - 1 - s  # candidates c = s+1 .. e-1
+        # m == 1: the single candidate c = s+1 can never split → terminal
+        term = m == 1
+        if term.any():
+            emit_t.append(active[term])
+            emit_cp.append(e[term] - 1)
+            active = active[~term]
+            s = s[~term]
+            e = e[~term]
+            m = m[~term]
+        if not len(active):
+            break
+        cc = m - 1                       # candidates i = 1 .. m-1 per traj
+        coff = _csum0(cc)
+        tot_c = int(coff[-1])
+        cand_t = np.repeat(np.arange(len(active)), cc)
+        cand_i = np.arange(tot_c, dtype=np.int64) - coff[cand_t] + 1
+        s_c = s[cand_t]
+        c_abs = s_c + 1 + cand_i
+        adx = X[c_abs] - X[s_c]
+        ady = Y[c_abs] - Y[s_c]
         alen = np.hypot(adx, ady)
-        # steps k = start .. n-2, endpoints relative to p_start
-        p0x = X[start:n - 1] - X[start]          # (m,)
-        p0y = Y[start:n - 1] - Y[start]
-        p1x = p0x + sdx[start:]
-        p1y = p0y + sdy[start:]
-        sl = step_len[start:]
         inv = 1.0 / np.maximum(alen, 1e-300)
-        l1 = np.abs(p0x[None, :] * ady[:, None] - p0y[None, :] * adx[:, None]) * inv[:, None]
-        l2 = np.abs(p1x[None, :] * ady[:, None] - p1y[None, :] * adx[:, None]) * inv[:, None]
+        # entry triangle: candidate i has steps k = 0 .. i (i+1 entries)
+        ce = cand_i + 1
+        eoff = _csum0(ce)
+        tot_e = int(eoff[-1])
+        ent_c = np.repeat(np.arange(tot_c, dtype=np.int64), ce)
+        k_abs = (np.arange(tot_e, dtype=np.int64) - eoff[ent_c]) + s_c[ent_c]
+        adx_e = adx[ent_c]
+        ady_e = ady[ent_c]
+        sx = sdx[k_abs]
+        sy = sdy[k_abs]
+        sl = step_len[k_abs]
+        x_se = X[s_c[ent_c]]
+        y_se = Y[s_c[ent_c]]
+        p0x = X[k_abs] - x_se
+        p0y = Y[k_abs] - y_se
+        p1x = p0x + sx
+        p1y = p0y + sy
+        inv_e = inv[ent_c]
+        l1 = np.abs(p0x * ady_e - p0y * adx_e) * inv_e
+        l2 = np.abs(p1x * ady_e - p1y * adx_e) * inv_e
         denom = l1 + l2
         d_perp = np.where(denom > 0,
                           (l1 * l1 + l2 * l2) / np.maximum(denom, 1e-300), 0.0)
-        dot = adx[:, None] * sdx[None, start:] + ady[:, None] * sdy[None, start:]
-        cross = np.abs(adx[:, None] * sdy[None, start:] - ady[:, None] * sdx[None, start:])
-        sin_t = np.minimum(cross / np.maximum(alen[:, None] * sl[None, :], 1e-300), 1.0)
-        d_ang = np.where(dot >= 0, sl[None, :] * sin_t, sl[None, :])
+        dot = adx_e * sx + ady_e * sy
+        cross = np.abs(adx_e * sy - ady_e * sx)
+        sin_t = np.minimum(cross / np.maximum(alen[ent_c] * sl, 1e-300), 1.0)
+        d_ang = np.where(dot >= 0, sl * sin_t, sl)
         degen = alen < 1e-12
         if degen.any():
-            dp0 = np.hypot(p0x, p0y)
-            dp1 = np.hypot(p1x, p1y)
+            dg = np.nonzero(degen[ent_c])[0]
+            dp0 = np.hypot(p0x[dg], p0y[dg])
+            dp1 = np.hypot(p1x[dg], p1y[dg])
             dden = dp0 + dp1
-            dperp_pt = np.where(dden > 0,
-                                (dp0 * dp0 + dp1 * dp1) / np.maximum(dden, 1e-300), 0.0)
-            d_perp[degen] = dperp_pt[None, :]
-            d_ang[degen] = sl[None, :]
-        terms = _log2c(d_perp, clamp) + _log2c(d_ang, clamp)   # (m, m)
-        csum = np.cumsum(terms, axis=1)
-        idx = np.arange(m)
-        cost_par = _log2c(alen, clamp) + csum[idx, idx]  # k in [start, c-1]
-        cost_nopar = C[start + 1 + idx] - C[start]
+            d_perp[dg] = np.where(
+                dden > 0, (dp0 * dp0 + dp1 * dp1) / np.maximum(dden, 1e-300),
+                0.0)
+            d_ang[dg] = sl[dg]
+        terms = _log2c(d_perp, clamp) + _log2c(d_ang, clamp)
+        cost_par = _log2c(alen, clamp) + np.add.reduceat(terms, eoff[:-1])
+        cost_nopar = C[c_abs] - C[s_c]
         viol = cost_par > cost_nopar
-        viol[0] = False  # curr = start+1 can never split
-        hits = np.nonzero(viol)[0]
-        if len(hits) == 0:
-            cps.append(n - 1)
-            break
-        cp = start + int(hits[0])  # curr - 1
-        cps.append(cp)
-        start = cp
-    else:
-        if cps[-1] != n - 1:
-            cps.append(n - 1)
-    return np.asarray(cps, dtype=np.int64)
+        v = np.where(viol, cand_i, BIG)
+        first = np.minimum.reduceat(v, coff[:-1])
+        hit = first < BIG
+        if hit.any():
+            cp = s[hit] + first[hit]
+            emit_t.append(active[hit])
+            emit_cp.append(cp)
+            start[active[hit]] = cp
+        nh = ~hit
+        if nh.any():
+            emit_t.append(active[nh])
+            emit_cp.append(e[nh] - 1)
+        active = active[hit]
+    et = np.concatenate(emit_t)
+    ec = np.concatenate(emit_cp)
+    order = np.lexsort((ec, et))
+    cps_flat = ec[order]
+    cps_offsets = _csum0(np.bincount(et, minlength=T).astype(np.int64))
+    return cps_flat, cps_offsets
 
 
 def split_long_segments(segs: np.ndarray, max_len: float):

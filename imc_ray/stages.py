@@ -237,21 +237,66 @@ def _traj_segments(traj_id: str, pts: np.ndarray, cfg: PipelineConfig, out: dict
     out["y2"].append(split[:, 3])
 
 
+def _segments_from_tracks_flat(traj: np.ndarray, offs: np.ndarray,
+                               x: np.ndarray, y: np.ndarray,
+                               cfg: PipelineConfig):
+    """Batched M5+M6 over the flat parser output: vectorized consecutive-dup
+    clean, ONE :func:`geom.mdl_partition_many` call for every trajectory in
+    the batch, ONE long-segment split — same seg_ids as the per-trajectory
+    :func:`_traj_segments` path bit-for-bit (asserted in tests).  Returns a
+    dict of flat column arrays, or ``None`` when no segments survive."""
+    if not len(traj):
+        return None
+    N = len(x)
+    keep = np.ones(N, dtype=bool)
+    if N > 1:
+        keep[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+    keep[offs[:-1]] = True  # first point of each trajectory always survives
+    counts2 = np.add.reduceat(keep.astype(np.int64), offs[:-1])
+    new_offs = geom._csum0(counts2)
+    x2 = x[keep]
+    y2 = y[keep]
+    pts2 = np.column_stack([x2, y2])
+    cf, co = geom.mdl_partition_many(pts2, new_offs, cfg.mdl_clamp)
+    ncps = np.diff(co)
+    nseg = ncps - 1  # every trajectory emits ≥ 1 characteristic point
+    if int(nseg.sum()) == 0:
+        return None
+    starts = np.delete(cf, co[1:] - 1)   # drop last cp of each trajectory
+    ends = np.delete(cf, co[:-1])        # drop first cp of each trajectory
+    raw = np.column_stack([x2[starts], y2[starts], x2[ends], y2[ends]])
+    seg_traj = np.repeat(np.arange(len(traj)), nseg)
+    parent_local = np.arange(len(raw), dtype=np.int64) - geom._csum0(nseg)[seg_traj]
+    split, parent_g, part = geom.split_long_segments(raw, cfg.max_seg_len)
+    tseg = seg_traj[parent_g]
+    p_in = parent_local[parent_g]
+    traj_col = traj[tseg]
+    names = [f"{t}#{int(p)}#{int(q)}"
+             for t, p, q in zip(traj_col, p_in, part)]
+    return {
+        "seg_id": geom.stable_hash64(names),
+        "traj_id": traj_col,
+        "x1": split[:, 0], "y1": split[:, 1],
+        "x2": split[:, 2], "y2": split[:, 3],
+    }
+
+
 def _segments_from_text_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Fused parse → clean → MDL → split → seg features for one batch.
 
     No trajectory shuffle: every trajectory is complete inside its page row,
     so MDL runs where the data is born (SURVEY §3.2 note — this removes
-    shuffle #1 of the naive plan).  Operates directly on the parser's
-    per-track arrays — no per-row pandas in the hot path."""
-    out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
-    for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-        for traj_id, lat, lon, _ts in extract.parse_tracks(url, text, with_ts=False):
-            x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
-            _traj_segments(traj_id, np.column_stack([x, y]), cfg, out)
-    if not out["seg_id"]:
+    shuffle #1 of the naive plan).  Fully batch-vectorized: the grammar via
+    extract.parse_tracks_flat (one Arrow split + two RE2 passes), clean/MDL/
+    split via _segments_from_tracks_flat (one mdl_partition_many call)."""
+    traj, offs, lat, lon, _ = extract.parse_tracks_flat(
+        batch["url"], batch["text"], with_ts=False)
+    if not len(traj):
         return _empty_segments()
-    cols = {k: np.concatenate(v) for k, v in out.items()}
+    x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
+    cols = _segments_from_tracks_flat(traj, offs, x, y, cfg)
+    if cols is None:
+        return _empty_segments()
     seg_len = np.hypot(cols["x2"] - cols["x1"], cols["y2"] - cols["y1"])
     angle = np.arctan2(cols["y2"] - cols["y1"], cols["x2"] - cols["x1"])
     return pa.table(
@@ -379,26 +424,28 @@ def _parsed_combined_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     every page twice, once per branch (round-3 review item 7); splitting
     this one materialized table halves the regex-bound parse work."""
     tile_size = cfg.tile_size
-    out = {k: [] for k in ("seg_id", "traj_id", "x1", "y1", "x2", "y2")}
-    tids = []
-    for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-        for traj_id, lat, lon, _ts in extract.parse_tracks(url, text, with_ts=False):
-            x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
-            tids.append(geom.cell_id(x, y, tile_size))
-            _traj_segments(traj_id, np.column_stack([x, y]), cfg, out)
-    if out["seg_id"]:
-        cols = {k: np.concatenate(v) for k, v in out.items()}
+    traj, offs, lat, lon, _ = extract.parse_tracks_flat(
+        batch["url"], batch["text"], with_ts=False)
+    if len(traj):
+        x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
+        tids = geom.cell_id(x, y, tile_size)
+        cols = _segments_from_tracks_flat(traj, offs, x, y, cfg)
+    else:
+        tids = np.empty(0, dtype=np.int64)
+        cols = None
+    if cols is not None:
         seg_len = np.hypot(cols["x2"] - cols["x1"], cols["y2"] - cols["y1"])
         angle = np.arctan2(cols["y2"] - cols["y1"], cols["x2"] - cols["x1"])
         ns = len(cols["seg_id"])
     else:
-        cols = {k: np.empty(0, dtype=np.float64) for k in out}
+        cols = {k: np.empty(0, dtype=np.float64)
+                for k in ("x1", "y1", "x2", "y2")}
         cols["seg_id"] = np.empty(0, dtype=np.int64)
         cols["traj_id"] = np.empty(0, dtype=object)
         seg_len = angle = np.empty(0, dtype=np.float64)
         ns = 0
-    if tids:
-        uniq, counts = np.unique(np.concatenate(tids), return_counts=True)
+    if len(tids):
+        uniq, counts = np.unique(tids, return_counts=True)
     else:
         uniq = counts = np.empty(0, dtype=np.int64)
     nt = len(uniq)
@@ -1367,16 +1414,14 @@ def build_tiles_from_pages(extracted: ray.data.Dataset,
     tile_size = cfg.tile_size
 
     def partial(batch: pa.Table) -> pa.Table:
-        tids = []
-        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-            for _tid, lat, lon, _ in extract.parse_tracks(url, text, with_ts=False):
-                x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT,
-                                       extract.ANCHOR_LON)
-                tids.append(geom.cell_id(x, y, tile_size))
-        if not tids:
+        traj, _offs, lat, lon, _ = extract.parse_tracks_flat(
+            batch["url"], batch["text"], with_ts=False)
+        if not len(traj):
             return pa.table({"tile_id": pa.array([], type=pa.int64()),
                              "n": pa.array([], type=pa.int64())})
-        uniq, counts = np.unique(np.concatenate(tids), return_counts=True)
+        x, y = geom.project_xy(lat, lon, extract.ANCHOR_LAT, extract.ANCHOR_LON)
+        uniq, counts = np.unique(geom.cell_id(x, y, tile_size),
+                                 return_counts=True)
         return pa.table({"tile_id": pa.array(uniq, type=pa.int64()),
                          "n": pa.array(counts, type=pa.int64())})
 

@@ -676,10 +676,29 @@ def kmeans_embeddings(sf_dir: str, k: int = 8,
 
     The input pins once (``materialize``) — iterations re-read blocks, not
     upstream lineage."""
-    from ray.data.aggregate import Sum as _Sum
-
     ds = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
           .materialize())
+    c = _kmeans_fit(ds, k, iters)
+    ref = ray.put(c)
+
+    def label(t: pa.Table) -> pa.Table:
+        c64 = ray.get(ref).astype(np.float64)
+        m = _emb_matrix(t).astype(np.float64)
+        a = (_assign_cells(m, c64) if len(m)
+             else np.empty(0, dtype=np.int64))
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    out = ds.map_batches(label, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_fit(ds: ray.data.Dataset, k: int, iters: int) -> np.ndarray:
+    """The distributed Lloyd fit behind :func:`kmeans_embeddings` (and the
+    SemDeDup partition stage) — returns the float32 (k, dim) centroids.
+    See kmeans_embeddings' docstring for the full shape rationale."""
+    from ray.data.aggregate import Sum as _Sum
+
     c = np.asarray(head_by_vec_id(ds, k)["embedding"].tolist(),
                    dtype=np.float32)
 
@@ -728,16 +747,94 @@ def kmeans_embeddings(sf_dir: str, k: int = 8,
                 vec = piv.loc[j].drop(index=-1).sort_index().to_numpy()
                 new_c[int(j)] = (vec / n_j).astype(np.float32)
         c = new_c
+    return c
 
-    ref = ray.put(c)
 
-    def label(t: pa.Table) -> pa.Table:
-        c64 = ray.get(ref).astype(np.float64)
-        m = _emb_matrix(t).astype(np.float64)
-        a = (_assign_cells(m, c64) if len(m)
-             else np.empty(0, dtype=np.int64))
-        return pa.table({"vec_id": t["vec_id"],
-                         "cluster": pa.array(a.astype(np.int64))})
+def semantic_dedup_embeddings(sf_dir: str, k: int = 8, iters: int = 4,
+                              tau: float = 0.95,
+                              broadcast_max_pairs: int | None = None
+                              ) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster-scoped semantic dedup —
+    the canonical curation composition the round-4 verdict asked for.
 
-    out = ds.map_batches(label, batch_format="pyarrow").to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    1. PARTITION: distributed Lloyd k-means (:func:`_kmeans_fit`) → every
+       vector gets a cluster label with one broadcast-centroid matmul.
+    2. WITHIN-CLUSTER near-dup candidates: the embedding_near_dup multi-probe
+       LSH (own + Hamming-1 buckets, id-only 16 B rows), with the bucket key
+       PREFIXED BY THE CLUSTER ID — candidate pairs can never cross clusters,
+       so per-bucket occupancy shrinks by ~k and the verify stays
+       pair-bounded regardless of corpus-wide density.
+    3. VERIFY: routed exact cosine ≥ tau (broadcast fetch below the pair
+       bound, two hash joins above — shared `_verify_cosine_routed`).
+    4. GROUP + SURVIVOR: distributed connected components → dup_group = min
+       member; ``keep`` marks the per-group survivor (min vec_id).
+
+    Iterative + approximate → rows-only driver check; pytest asserts exact
+    equality against a single-node numpy oracle that mirrors the SAME
+    cluster-scoped candidate scheme, plus planted-duplicate recall and the
+    no-cross-cluster-group invariant."""
+    ds = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+          .materialize())
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0])
+    c = _kmeans_fit(ds, k, iters)
+    ref = ray.put((c.astype(np.float64), _planes(dim)))
+
+    def emit(t: pa.Table) -> pa.Table:
+        c64, P = ray.get(ref)
+        m = _emb_matrix(t)
+        vid = t["vec_id"].to_numpy()
+        cell = (_assign_cells(m.astype(np.float64), c64) if len(m)
+                else np.empty(0, dtype=np.int64))
+        signs = (m @ P) >= 0
+        base = np.zeros(len(m), dtype=np.int64)
+        for b in range(_N_PLANES):
+            base |= signs[:, b].astype(np.int64) << b
+        probes = np.concatenate([[0], 1 << np.arange(_N_PLANES,
+                                                     dtype=np.int64)])
+        buckets = (base[:, None] ^ probes[None, :])
+        # bucket key namespaced by cluster: pairs never cross clusters
+        keyed = (cell[:, None].astype(np.int64) << (_N_PLANES + 1)) | buckets
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, len(probes)), type=pa.int64()),
+            "cluster": pa.array(np.repeat(cell, len(probes)).astype(np.int64)),
+            "bucket": pa.array(keyed.reshape(-1), type=pa.int64()),
+        })
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu].astype(np.int64),
+                             "b": ids[ju].astype(np.int64)})
+
+    from ray.data.aggregate import Min as _Min
+
+    emitted = ds.map_batches(emit, batch_format="pyarrow").materialize()
+    raw = (emitted.select_columns(["vec_id", "bucket"])
+           .groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
+           .materialize())
+    # per-vector cluster labels (every probe row of a vector carries the same
+    # cluster, so a Min over the 13 probe rows recovers the single label)
+    lab = (emitted.select_columns(["vec_id", "cluster"])
+           .groupby("vec_id")
+           .aggregate(_Min("cluster", alias_name="cluster"))
+           .to_pandas())
+    ids = ds.select_columns(["vec_id"])
+    if raw.count() == 0:
+        comp = graph.components_frame_empty(ids, "vec_id", "dup_group")
+    else:
+        cand = graph.dedupe_pairs(raw).materialize()
+        verified = _verify_cosine_routed(ds, cand, tau,
+                                         broadcast_max_pairs).materialize()
+        if verified.count() == 0:
+            comp = graph.components_frame_empty(ids, "vec_id", "dup_group")
+        else:
+            comp = graph.components_frame(ids, verified, "vec_id",
+                                          "dup_group")
+    out = comp.merge(lab, on="vec_id", how="left")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["keep"] = out["vec_id"] == out["dup_group"]
+    return (out[["vec_id", "cluster", "dup_group", "keep"]]
+            .sort_values("vec_id").reset_index(drop=True))

@@ -101,8 +101,7 @@ class TestDedupFamily:
         def simhash_seq(text):
             acc = np.zeros(64, dtype=np.int64)
             for tok in text.split(" "):
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                h = np.uint64(textops.token_hash64(tok))
                 bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits.astype(bool), 1, -1)
             out = 0
@@ -1052,6 +1051,97 @@ class TestKmeansEmbeddings:
         assert got["vec_id"].tolist() == df["vec_id"].tolist()
         assert got["cluster"].tolist() == [int(x) for x in want]
         assert got["cluster"].nunique() > 1  # actually clusters something
+
+    def test_semantic_dedup_matches_numpy_oracle(self, ray_session):
+        """SemDeDup composition must equal a single-node oracle that mirrors
+        the same scheme exactly: identical k-means labels, candidate pairs
+        ⟺ same cluster AND Hamming(base codes) ≤ 2 (own + Hamming-1 probe
+        buckets intersect), exact cosine ≥ tau, min-id union-find groups."""
+        import pyarrow.parquet as pq
+
+        from imc_ray.vector import (_assign_cells, _pair_cos, _planes,
+                                    _N_PLANES, semantic_dedup_embeddings)
+
+        sf = "/root/testdata/sf0.001"
+        k, iters, tau = 4, 3, 0.1  # low tau so real pairs survive the verify
+        got = semantic_dedup_embeddings(sf, k=k, iters=iters, tau=tau)
+
+        t = pq.read_table(sf + "/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        X = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+        vid = df["vec_id"].to_numpy(dtype=np.int64)
+        c = X[:k].copy()
+        for _ in range(iters):
+            a = _assign_cells(X.astype(np.float64), c.astype(np.float64))
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    c[j] = (X[m].astype(np.float64).sum(axis=0)
+                            / m.sum()).astype(np.float32)
+        lab = _assign_cells(X.astype(np.float64), c.astype(np.float64))
+        P = _planes(X.shape[1])
+        signs = (X @ P) >= 0
+        base = np.zeros(len(X), dtype=np.int64)
+        for b in range(_N_PLANES):
+            base |= signs[:, b].astype(np.int64) << b
+        # union-find over oracle-verified candidate pairs
+        parent = {int(v): int(v) for v in vid}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for i in range(len(X)):
+            for j in range(i + 1, len(X)):
+                if lab[i] != lab[j]:
+                    continue
+                if bin(int(base[i]) ^ int(base[j])).count("1") > 2:
+                    continue
+                cos = _pair_cos(X[i:i + 1], X[j:j + 1])[0]
+                if cos >= tau:
+                    ra, rb = find(int(vid[i])), find(int(vid[j]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        want_group = [find(int(v)) for v in vid]
+
+        assert got["vec_id"].tolist() == vid.tolist()
+        assert got["cluster"].tolist() == [int(x) for x in lab]
+        assert got["dup_group"].tolist() == want_group
+        assert (got["keep"] == (got["vec_id"] == got["dup_group"])).all()
+        assert got["keep"].sum() < len(got)  # at tau=0.1 some dups collapse
+        # the composition invariant: a dup group never crosses clusters
+        g = got.groupby("dup_group")["cluster"].nunique()
+        assert (g == 1).all()
+
+    def test_semantic_dedup_planted_duplicates(self, ray_session, tmp_path):
+        """Planted EXACT duplicate vectors (cos = 1, identical codes) must
+        collapse to the min-id survivor; distinct random vectors survive."""
+        import pyarrow.parquet as pq
+
+        from imc_ray.vector import semantic_dedup_embeddings
+
+        import pyarrow as pa
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 16)).astype(np.float32)
+        dup = np.vstack([base, base[:5]])  # ids 40..44 duplicate 0..4
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(dup), dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in dup],
+                                  type=pa.list_(pa.float32())),
+        })
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = semantic_dedup_embeddings(str(tmp_path), k=3, iters=2,
+                                        tau=0.999)
+        by = dict(zip(out["vec_id"], out["dup_group"]))
+        for i in range(5):
+            assert by[40 + i] == i  # survivor = min id of the pair
+            assert by[i] == i
+        assert not out.loc[out["vec_id"] >= 40, "keep"].any()
+        assert out.loc[out["vec_id"] < 40, "keep"].all()
 
     def test_window_bucket_count_invariance(self, ray_session):
         """Window results must not depend on the coarse-bucket modulus —
