@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": R.parts_by_brand,
         "supplier_nations": R.supplier_nations,
         "running_total_per_user": R.running_total_per_user,
+        # hot-key-routed associative window (r5): heavy users via
+        # global_prefix_sum, the rest via the coarse-bucket engine
+        "running_count_per_user_hot": R.running_count_per_user_hot,
         "sessionize_events": R.sessionize_events,
         "sliding_window_counts": R.sliding_window_counts,
         "pivot_user_events": R.pivot_user_events,
@@ -262,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": V.knn_brute_force,
         "ann_lsh": V.ann_lsh,
         "ann_ivf": V.ann_ivf,
+        # exact recall-vs-brute-force contract for the approximate family
+        # (values recomputed + floor-asserted in pytest; rows-only driver)
+        "ann_recall_scalars": V.ann_recall_scalars,
         "embedding_near_dup": V.embedding_near_dup,
         # SemDeDup composition (kmeans partition → cluster-scoped LSH
         # near-dup → min-id survivor); iterative+approximate — rows-only,
@@ -437,6 +443,13 @@ def oracle_sql() -> dict[str, str]:
                        AS running_value
             FROM events ORDER BY event_id
         """,
+        "running_count_per_user_hot": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS BIGINT)
+                       AS running
+            FROM events ORDER BY user_id, event_id
+        """,
         "sliding_window_counts": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
@@ -523,9 +536,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
                 FROM f GROUP BY text
             )
-            SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
+            SELECT CASE WHEN (CAST(doc_id % 4294967296 AS HUGEINT)
+                              * 2654435761) % 4294967296
                              < 3435973836 THEN 'train'
-                        WHEN (doc_id * 2654435761) % 4294967296
+                        WHEN (CAST(doc_id % 4294967296 AS HUGEINT)
+                              * 2654435761) % 4294967296
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -827,10 +842,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "split_assign_documents": """
             SELECT doc_id,
-                   (doc_id * 2654435761) % 4294967296 AS bucket,
-                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                   CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                        % 4294967296 AS BIGINT) AS bucket,
+                   CASE WHEN (CAST(doc_id % 4294967296 AS HUGEINT)
+                              * 2654435761) % 4294967296
                              < 3435973836 THEN 'train'
-                        WHEN (doc_id * 2654435761) % 4294967296
+                        WHEN (CAST(doc_id % 4294967296 AS HUGEINT)
+                              * 2654435761) % 4294967296
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id

@@ -72,7 +72,16 @@ def per_key_windows(ds: "ray.data.Dataset", key: str, bucket_fn,
 
     ``n_rows_hint`` sizes B without consuming ``ds`` when ``ds`` has
     transform lineage (an unmaterialized Dataset counted AND mapped would
-    re-execute its upstream twice)."""
+    re-execute its upstream twice).
+
+    Skew caveat (documented partitioning assumption, the same one
+    :func:`global_row_number` carries): ALL rows of one key land in one
+    coarse bucket by construction, so a corpus-dominant key concentrates
+    its bucket task.  General window shapes need that colocation; the
+    ASSOCIATIVE subset (running totals / counts) does not — route
+    telemetry-flagged hot keys through :func:`per_key_running_total`,
+    which evaluates them with a sampled-range :func:`global_prefix_sum`
+    so no task ever holds more than ~1/B of the hot key."""
     if n_buckets is None:
         n = n_rows_hint if n_rows_hint is not None else ds.count()
         n_buckets = _window_bucket_count(n)
@@ -97,6 +106,73 @@ def per_key_windows(ds: "ray.data.Dataset", key: str, bucket_fn,
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_wb").map_groups(run, batch_format="pandas"))
+
+
+def per_key_running_total(ds: "ray.data.Dataset", key: str, order_col: str,
+                          val_col: str, hot_threshold: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Hot-key-safe per-key running total — the associative member of the
+    window family, routed by per-key telemetry (round-4 verdict item 4).
+
+    :func:`per_key_windows` colocates every row of a key in one coarse
+    bucket; correct for arbitrary window shapes, but a corpus-dominant key
+    concentrates its bucket task.  A running total is ASSOCIATIVE, so hot
+    keys don't need colocation: keys whose row count exceeds
+    ``hot_threshold`` (default: the window engine's ~2M rows-per-bucket
+    target) are each evaluated with one sampled-range
+    :func:`global_prefix_sum` — no task holds more than ~1/B of the hot
+    key — while the cold majority takes the normal coarse-bucket route.
+    Identical output either way (route equality asserted in tests with one
+    key holding 50 % of all rows).  Requires ``order_col`` values unique
+    within each key (the window's deterministic total order) and an int64
+    ``val_col`` (integer-exact associative summation).
+
+    Emits (key, order_col, "running") rows."""
+    if hot_threshold is None:
+        hot_threshold = _WINDOW_ROWS_PER_BUCKET
+    ds = ds.materialize()  # telemetry + evaluation passes share the blocks
+    per_key = ds.groupby(key).aggregate(Count(alias_name="_n"))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.greater(t["_n"], pa.scalar(hot_threshold)))
+                .select([key]))
+
+    # only keys ABOVE the threshold reach the driver — a bounded frame by
+    # construction (k · hot_threshold ≤ n), never per-key-cardinality
+    hot_df = per_key.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    hot = hot_df[key].tolist() if key in hot_df.columns else []
+
+    def cold_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col], kind="stable")
+        df["running"] = df.groupby(key, sort=False)[val_col].cumsum()
+        return df[[key, order_col, "running"]]
+
+    if not hot:
+        return per_key_windows(ds, key, cold_fn, n_rows_hint=ds.count())
+    hot_set = pa.array(sorted(hot))
+    cold = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[key], value_set=hot_set))),
+        batch_format="pyarrow")
+    outs = [per_key_windows(cold, key, cold_fn, n_rows_hint=ds.count())]
+    for hk in sorted(hot):
+        sub = ds.map_batches(
+            lambda t, _hk=hk: t.filter(pc.equal(t[key], pa.scalar(_hk))),
+            batch_format="pyarrow").select_columns([order_col, val_col])
+        pre = global_prefix_sum(sub, order_col, val_col)
+
+        def fin(t: pa.Table, _hk=hk) -> pa.Table:
+            run = pc.add(t["pre"], pc.cast(t[val_col], pa.int64()))
+            return pa.table({
+                key: pa.array([_hk] * len(t)),
+                order_col: t[order_col],
+                "running": pc.cast(run, pa.int64()),
+            })
+
+        outs.append(pre.map_batches(fin, batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -679,6 +755,30 @@ def running_total_per_user(sf_dir: str) -> pd.DataFrame:
     out = per_key_windows(ds, "user_id", f).to_pandas()
     out = out.sort_values("event_id").reset_index(drop=True)
     return _r(out, ["running_value"])
+
+
+def running_count_per_user_hot(sf_dir: str,
+                               hot_threshold: int = 84) -> pd.DataFrame:
+    """Per-user running event count through the HOT-KEY-ROUTED engine
+    (:func:`per_key_running_total` with val ≡ 1): at sf0.01 the default
+    threshold flags the heaviest ~3 users, which evaluate via one sampled-
+    range :func:`global_prefix_sum` each while the rest take the coarse-
+    bucket route — the oracle (`row_number()` per user) value-checks BOTH
+    routes in one query.  Order key = event_id (globally unique)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    out = (per_key_running_total(ds.map_batches(add_one,
+                                                batch_format="pyarrow"),
+                                 "user_id", "event_id", "one",
+                                 hot_threshold=hot_threshold)
+           .to_pandas())
+    out["running"] = out["running"].astype("int64")
+    return (out[["user_id", "event_id", "running"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
 
 
 def sessionize_events(sf_dir: str) -> pd.DataFrame:

@@ -341,7 +341,14 @@ def _split_tokens_arrow(col) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    return toks.values.to_pandas().to_numpy(), offs
+    vals = toks.values
+    # normalize sliced/offset ListArrays: callers zip offsets positionally
+    # against the flat child (round-4 advice item — fresh split output is
+    # already zero-based, a sliced block reaching here would misalign)
+    if offs[0] != 0 or len(vals) != offs[-1]:
+        vals = vals.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+    return vals.to_pandas().to_numpy(), offs
 
 
 _TOKEN_HASH_KEY = "imc-ray-tok-hash"  # hash_pandas_object key (exactly 16 B)
@@ -856,26 +863,31 @@ def chunk_dup_stats(sf_dir: str, chunk_tokens: int = 10) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunks(t: pa.Table) -> pa.Table:
-        # fully vectorized (round-4): tokens hash ONCE per batch; each
-        # chunk's 128-bit key is two order-dependent uint64 mixes of its
-        # token hashes, summed per chunk with ONE bincount per mix (chunk
-        # index = doc-relative position // chunk_tokens).  Chunk-key
-        # equality ⇔ token-sequence equality ⇔ chunk-TEXT equality (the
-        # join separator is the split delimiter), so counts match the
-        # oracle's GROUP BY chunk text up to 2^-128 collisions — the same
-        # key contract as the string-hash version this replaces, without
-        # per-doc Python string building.
+        # fully vectorized (round-4): each chunk's 128-bit key is two
+        # order-dependent uint64 mixes over TWO INDEPENDENT token hashes
+        # (distinct hash_pandas_object keys — round-4 advice: deriving both
+        # mixes from one 64-bit token hash collapses the budget to ~2^-64,
+        # since a single token-hash collision defeats both halves), summed
+        # per chunk with ONE reduceat per mix (chunk index = doc-relative
+        # position // chunk_tokens).  Chunk-key equality ⇔ token-sequence
+        # equality ⇔ chunk-TEXT equality (the join separator is the split
+        # delimiter), so counts match the oracle's GROUP BY chunk text up
+        # to ~2^-128 collisions.
         flat, offs = _split_tokens_arrow(t["text"])
         did = t["doc_id"].to_numpy(zero_copy_only=False)
         if not len(flat):
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "h1": pa.array([], type=pa.int64()),
                              "h2": pa.array([], type=pa.int64())})
-        th = (pd.util.hash_pandas_object(
-            pd.Series(flat, dtype=object), index=False,
-            hash_key="imcray-chunk-tk1").to_numpy().astype(np.uint64))
+        fs = pd.Series(flat, dtype=object)
+        th1 = (pd.util.hash_pandas_object(
+            fs, index=False, hash_key="imcray-chunk-tk1")
+            .to_numpy().astype(np.uint64))
+        th2 = (pd.util.hash_pandas_object(
+            fs, index=False, hash_key="imcray-chunk-tk2")
+            .to_numpy().astype(np.uint64))
         counts = np.diff(offs)
-        pos = np.arange(len(th)) - np.repeat(offs[:-1], counts)
+        pos = np.arange(len(th1)) - np.repeat(offs[:-1], counts)
         in_chunk = pos % chunk_tokens              # position within chunk
         # one distinct odd constant PER in-chunk position (swapping two
         # tokens must change the sum, so constants cannot repeat inside a
@@ -887,8 +899,8 @@ def chunk_dup_stats(sf_dir: str, chunk_tokens: int = 10) -> pd.DataFrame:
         # stream, so per-chunk wrap-around uint64 sums are one reduceat
         # over the chunk-start offsets (in_chunk == 0)
         starts = np.flatnonzero(in_chunk == 0)
-        h1 = np.add.reduceat(th * c1[in_chunk], starts)
-        h2 = np.add.reduceat(th * c2[in_chunk], starts)
+        h1 = np.add.reduceat(th1 * c1[in_chunk], starts)
+        h2 = np.add.reduceat(th2 * c2[in_chunk], starts)
         chunks_per_doc = (counts + chunk_tokens - 1) // chunk_tokens
         return pa.table({
             "doc_id": pa.array(np.repeat(did, chunks_per_doc),
@@ -1287,11 +1299,13 @@ def decontaminate_documents(sf_dir: str, n_gram: int = 4,
     (real pipelines use 8–13-gram windows; the shape is identical).
 
     Shape: one vectorized pass turns each batch into thin 16-byte gram-key
-    rows — tokens hash once per batch (``hash_pandas_object``), 8-token
-    windows combine via two independent order-dependent uint64 mixes
-    (sliding-window dot product; sequence equality ⇔ joined-string equality
-    since the join separator is the split delimiter, so the 128-bit key
-    matches the oracle's string compare up to 2^-128 collisions).  Blocklist
+    rows — tokens hash TWICE per batch (two independent
+    ``hash_pandas_object`` keys; round-4 advice: one shared token hash
+    collapses the pair budget to ~2^-64), token windows combine via two
+    order-dependent uint64 mixes (sliding-window dot product; sequence
+    equality ⇔ joined-string equality since the join separator is the split
+    delimiter, so the 128-bit key matches the oracle's string compare up to
+    ~2^-128 collisions).  Blocklist
     keys then either broadcast (≤ ``broadcast_max`` rows: driver-deduped
     frame + in-batch pandas merge) or meet the candidate grams in a
     distributed (h1, h2) hash join; per-doc OR-reduction is a grouped Max,
@@ -1312,17 +1326,22 @@ def decontaminate_documents(sf_dir: str, n_gram: int = 4,
         counts = np.diff(offs_d)
         if len(flat) < w:
             return empty
-        th = (pd.util.hash_pandas_object(
-            pd.Series(flat, dtype=object), index=False,
-            hash_key="imcray-decon-tk1").to_numpy().astype(np.uint64))
+        fs = pd.Series(flat, dtype=object)
+        th1 = (pd.util.hash_pandas_object(
+            fs, index=False, hash_key="imcray-decon-tk1")
+            .to_numpy().astype(np.uint64))
+        th2 = (pd.util.hash_pandas_object(
+            fs, index=False, hash_key="imcray-decon-tk2")
+            .to_numpy().astype(np.uint64))
         doc_of = np.repeat(np.arange(len(did)), counts)
-        starts = np.arange(len(th) - w + 1)
+        starts = np.arange(len(th1) - w + 1)
         valid = doc_of[starts] == doc_of[starts + w - 1]
         if not valid.any():
             return empty
-        win = np.lib.stride_tricks.sliding_window_view(th, w)[valid]
-        gh1 = win @ _DECON_C1[:w]           # uint64 wrap-around mixes
-        gh2 = win @ _DECON_C2[:w]
+        gh1 = np.lib.stride_tricks.sliding_window_view(th1, w)[valid] \
+            @ _DECON_C1[:w]                 # uint64 wrap-around mixes
+        gh2 = np.lib.stride_tricks.sliding_window_view(th2, w)[valid] \
+            @ _DECON_C2[:w]
         gdoc = did[doc_of[starts[valid]]]
         return pa.table({
             "doc_id": pa.array(gdoc, type=pa.int64()),
@@ -1400,13 +1419,16 @@ def split_assign_documents(sf_dir: str) -> pd.DataFrame:
     re-partitioning and corpus growth (a doc's split never depends on other
     rows), pure vectorized int64 arithmetic per batch, no shuffle at all.
     The Knuth multiplier spreads sequential ids uniformly over 2^32; the
-    oracle reproduces the identical arithmetic in SQL."""
+    oracle reproduces the identical arithmetic in SQL (HUGEINT product over
+    the mod-2^32-reduced id, congruent with numpy's wrap-around product at
+    any key magnitude — round-4 advice)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
     names = np.array(["train", "val", "test"], dtype=object)
 
     def assign(t: pa.Table) -> pa.Table:
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (did * np.uint64(2654435761)) % np.uint64(2**32)
+        h = ((did % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
         idx = np.where(h < np.uint64(int(0.8 * 2**32)), 0,
                        np.where(h < np.uint64(int(0.9 * 2**32)), 1, 2))
         return pa.table({
@@ -1460,7 +1482,11 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 30,
 
     def split(t: pa.Table) -> pa.Table:
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (did * np.uint64(2654435761)) % np.uint64(2**32)
+        # (did % 2^32) pre-reduction keeps the numpy mod-2^64 product and the
+        # oracle's HUGEINT product congruent at ANY key magnitude (round-4
+        # advice — same pattern as sample_orders_count / stratified sampling)
+        h = ((did % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
         idx = np.where(h < np.uint64(int(0.8 * 2**32)), 0,
                        np.where(h < np.uint64(int(0.9 * 2**32)), 1, 2))
         return pa.table({"split": pa.array(names[idx].tolist(),

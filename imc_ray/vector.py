@@ -406,6 +406,31 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+def ann_recall_scalars(sf_dir: str, n_queries: int = 5,
+                       k: int = 5) -> pd.DataFrame:
+    """Value contract for the approximate ANN family (round-4 verdict item
+    3): the EXACT per-query overlap of ann_lsh / ann_ivf result sets with
+    the knn_brute_force ground truth on the same table — the
+    approximate-by-design rows-only queries gain a deterministic,
+    exact-integer recall surface.  Emits one (method, query_id, hits, k)
+    row per (method, query); pytest recomputes the overlap independently
+    and asserts equality plus the recall floors the family has carried
+    since round 2 (lsh ≥ 0.4, ivf ≥ 0.3 overall)."""
+    bf = knn_brute_force(sf_dir, n_queries, k)
+    rows = []
+    for method, fn in (("ivf", ann_ivf), ("lsh", ann_lsh)):
+        res = fn(sf_dir, n_queries, k)
+        for qid in sorted(bf["query_id"].unique()):
+            truth = set(bf.loc[bf["query_id"] == qid, "vec_id"])
+            got = set(res.loc[res["query_id"] == qid, "vec_id"])
+            rows.append({"method": method, "query_id": int(qid),
+                         "hits": int(len(truth & got)),
+                         "k": int(len(truth))})
+    out = pd.DataFrame(rows, columns=["method", "query_id", "hits", "k"])
+    return (out.astype({"query_id": "int64", "hits": "int64", "k": "int64"})
+            .sort_values(["method", "query_id"]).reset_index(drop=True))
+
+
 _COS_VERIFY_BROADCAST_MAX_PAIRS = 50_000
 # candidate-pair sets up to this verify via the broadcast path (embeddings
 # fetched are bounded by 2×pairs, never corpus size; Ray's two-join fixed
@@ -669,8 +694,12 @@ def kmeans_embeddings(sf_dir: str, k: int = 8,
       dim)`` Sum finishes the reduction and the ≤ k·(dim+1)-row result
       pivots on the driver;
     * new centroids round to float32 each iteration, so label assignments
-      are invariant to partitioning/summation order (float64 block-sum
-      divergence ~1e-13 ≪ float32 resolution; empty clusters keep their
+      are invariant to partitioning/summation order with overwhelming
+      probability (float64 block-sum divergence ~1e-13 ≪ float32 resolution
+      ~2e-6/component; the residual risk — a block-sum that happens to
+      straddle a float32 rounding boundary AND a point near-equidistant to
+      the two affected centroids — is of order 1e-7 per centroid component
+      per iteration, not zero; round-4 advice.  Empty clusters keep their
       previous centroid — deterministic);
     * final pass: one matmul per batch → (vec_id, cluster) labels.
 

@@ -330,6 +330,28 @@ class TestSimilaritySearch:
         b = vector.ann_ivf(SF, n_queries=3, k=4)
         assert a.equals(b)
 
+    def test_ann_recall_scalars_exact(self, ray_session):
+        """The recall surface must equal an independently recomputed
+        overlap, meet the family's floors, and be deterministic — the
+        value contract for the approximate rows-only ANN queries."""
+        from imc_ray import vector
+
+        out = vector.ann_recall_scalars(SF, n_queries=5, k=5)
+        assert list(out.columns) == ["method", "query_id", "hits", "k"]
+        bf = vector.knn_brute_force(SF, n_queries=5, k=5)
+        res = {"lsh": vector.ann_lsh(SF, n_queries=5, k=5),
+               "ivf": vector.ann_ivf(SF, n_queries=5, k=5)}
+        for _, r in out.iterrows():
+            truth = set(bf.loc[bf["query_id"] == r["query_id"], "vec_id"])
+            got = set(res[r["method"]].loc[
+                res[r["method"]]["query_id"] == r["query_id"], "vec_id"])
+            assert r["hits"] == len(truth & got)
+            assert r["k"] == len(truth)
+        agg = out.groupby("method").sum(numeric_only=True)
+        assert agg.loc["lsh", "hits"] / agg.loc["lsh", "k"] >= 0.4
+        assert agg.loc["ivf", "hits"] / agg.loc["ivf", "k"] >= 0.3
+        assert out.equals(vector.ann_recall_scalars(SF, n_queries=5, k=5))
+
     def test_embedding_near_dup_rows(self, ray_session):
         from imc_ray import vector
 
@@ -1169,6 +1191,42 @@ class TestKmeansEmbeddings:
                         .to_pandas().sort_values("ord")
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestPerKeyRunningTotal:
+    def test_hot_key_route_equality(self, ray_session):
+        """A key holding 50% of all rows must produce IDENTICAL running
+        totals through the hot route (global_prefix_sum per hot key) and
+        the cold coarse-bucket route — and match single-node pandas."""
+        import ray.data
+
+        from imc_ray.relational import per_key_running_total
+
+        rng = np.random.default_rng(21)
+        n = 4000
+        key = np.where(np.arange(n) % 2 == 0, 7,
+                       rng.integers(100, 160, n)).astype("int64")
+        df = pd.DataFrame({
+            "k": key,
+            "ord": rng.permutation(np.arange(n)).astype("int64"),
+            "v": rng.integers(-50, 50, n).astype("int64"),
+        })
+        want = df.sort_values(["k", "ord"], kind="stable").copy()
+        want["running"] = want.groupby("k", sort=False)["v"].cumsum()
+        want = (want[["k", "ord", "running"]]
+                .sort_values(["k", "ord"]).reset_index(drop=True))
+
+        outs = []
+        for thresh in (100, 10**9):  # hot route forced / all-cold route
+            ds = ray.data.from_pandas(df).repartition(6)
+            got = (per_key_running_total(ds, "k", "ord", "v",
+                                         hot_threshold=thresh)
+                   .to_pandas().sort_values(["k", "ord"])
+                   .reset_index(drop=True))
+            got["running"] = got["running"].astype("int64")
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], want)
 
 
 class TestGlobalPrefixSum:
