@@ -142,6 +142,9 @@ def run_bench() -> dict:
     timed("decontaminate_documents",
           lambda: textops.decontaminate_documents(SF_DIR))
     timed("kmeans_embeddings", lambda: vector.kmeans_embeddings(SF_DIR))
+    # round-5 addition: the SemDeDup composition
+    timed("semantic_dedup_embeddings",
+          lambda: vector.semantic_dedup_embeddings(SF_DIR))
     timed("curation_pipeline", lambda: textops.curation_pipeline(SF_DIR))
     timed("pack_sequences_documents",
           lambda: relational.pack_sequences_documents(SF_DIR))

@@ -95,11 +95,15 @@ def make_doc(idx: int, seed: int = 42, n_sites: int = 20) -> dict:
             route = _ROUTES[int(rng.integers(0, len(_ROUTES)))]
             pts = _walk_route(rng, route)
             lat, lon = geom.unproject_xy(pts[:, 0], pts[:, 1], lat0, lon0)
-            parts = []
-            for p in range(len(lat)):
-                ts = (t0 + timedelta(seconds=p)).strftime("%Y-%m-%dT%H:%M:%S")
-                parts.append(f"{lat[p]:.6f},{lon[p]:.6f},{ts}")
-            line = f"TRACK {k}: " + "; ".join(parts)
+            # vectorized point formatting (byte-identical to the former
+            # per-point f-string/strftime loop: C printf %.6f + ISO-second
+            # datetime_as_string — the generator dominated bench walls)
+            ts = np.datetime_as_string(
+                np.datetime64(t0, "s")
+                + np.arange(len(lat)).astype("timedelta64[s]"), unit="s")
+            parts = np.char.add(np.char.add(
+                np.char.mod("%.6f,", lat), np.char.mod("%.6f,", lon)), ts)
+            line = f"TRACK {k}: " + "; ".join(parts.tolist())
             if rng.random() < 0.02:
                 line = line.replace(",", "", 1)  # malformed: parser skips it
             lines.append(line)

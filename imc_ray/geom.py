@@ -907,15 +907,16 @@ def hausdorff_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 def stable_hash64(strings) -> np.ndarray:
-    """Deterministic 63-bit id per string (blake2b) — seg_id/traj hash basis.
+    """Deterministic 63-bit id per string — seg_id/traj hash basis.
 
-    Vectorized-ish (Python loop over strings, but only used at id-mint time on
-    short arrays per batch).  Collision odds at test scale are negligible;
-    at 10^12-row scale ids would widen to 128-bit (documented trade-off)."""
-    import hashlib as _h
+    Vectorized (round 5): ONE fixed-key ``hash_pandas_object`` pass replaces
+    the per-string blake2b loop (shared by the oracle and every engine path,
+    so ids stay identical across routes by construction).  Collision odds at
+    test scale are negligible; at 10^12-row scale ids would widen to 128-bit
+    (documented trade-off)."""
+    import pandas as _pd
 
-    out = np.empty(len(strings), dtype=np.int64)
-    for i, s in enumerate(strings):
-        d = _h.blake2b(str(s).encode(), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "big") & 0x7FFFFFFFFFFFFFFF
-    return out
+    s = _pd.Series(np.asarray(strings, dtype=object), dtype=object)
+    h = _pd.util.hash_pandas_object(s, index=False,
+                                    hash_key="imcray-seg-id-64").to_numpy()
+    return (h.astype(np.uint64) >> np.uint64(1)).astype(np.int64)

