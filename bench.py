@@ -187,10 +187,11 @@ def run_flagship_only() -> dict:
 
     docs = int(os.environ.get("GRAFT_SCALING_DOCS", "600000"))
     sites = int(os.environ.get("GRAFT_SCALING_SITES", "3000"))
+    blocks = int(os.environ.get("GRAFT_SCALING_BLOCKS", "256"))
     t0 = time.time()
     res = pipeline.run(
         stages.synth_pages(docs, seed=42, n_sites=sites,
-                           override_num_blocks=256),
+                           override_num_blocks=blocks),
         PipelineConfig(),
     )
     n_join = res["tile_cluster"].count()

@@ -14,3 +14,25 @@ Library code never calls ``ray.init()`` — sessions are owned by the driver,
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Keep large freed buffers in the process heap instead of returning
+    them to the OS (glibc ``mallopt``): the batch-vectorized kernels
+    allocate/free hundreds of MB per batch, and the default
+    mmap-per-large-buffer policy re-faults those pages on EVERY batch —
+    kernel reclaim time that serializes across workers and showed up as a
+    parallelism-independent wall component in the round-5 scaling work.
+    Runs in every process that imports the library (driver and Ray
+    workers); no-op on non-glibc platforms."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD: never trim the heap
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD: big buffers via heap
+    except Exception:
+        pass
+
+
+_tune_allocator()

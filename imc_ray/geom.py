@@ -406,6 +406,22 @@ def mdl_partition_many(pts: np.ndarray, offsets: np.ndarray,
             m = m[~term]
         if not len(active):
             break
+        # Cap the round's flat entry-triangle size by splitting the ACTIVE
+        # TRAJECTORY SET into chunks (per-trajectory math is independent, so
+        # decisions are unchanged): bounds peak allocation to ~16 MB/array
+        # instead of O(total candidates) — the unchunked version's ~300 MB
+        # first-touch page-fault warmup showed up as a constant ~2.5 s per
+        # worker in the flagship wall (round-5 scaling work).
+        est_entries = ((m - 1) * m // 2).cumsum()
+        if est_entries[-1] > 2_000_000 and len(active) > 1:
+            cut = int(np.searchsorted(est_entries, 2_000_000) + 1)
+            defer = active[cut:]
+            active = active[:cut]
+            s = s[:cut]
+            e = e[:cut]
+            m = m[:cut]
+        else:
+            defer = None
         cc = m - 1                       # candidates i = 1 .. m-1 per traj
         coff = _csum0(cc)
         tot_c = int(coff[-1])
@@ -471,6 +487,8 @@ def mdl_partition_many(pts: np.ndarray, offsets: np.ndarray,
             emit_t.append(active[nh])
             emit_cp.append(e[nh] - 1)
         active = active[hit]
+        if defer is not None:
+            active = np.concatenate([active, defer])
     et = np.concatenate(emit_t)
     ec = np.concatenate(emit_cp)
     order = np.lexsort((ec, et))

@@ -162,8 +162,11 @@ def per_key_running_total(ds: "ray.data.Dataset", key: str, order_col: str,
 
         def fin(t: pa.Table, _hk=hk) -> pa.Table:
             run = pc.add(t["pre"], pc.cast(t[val_col], pa.int64()))
+            ktype = (pa.int64() if isinstance(_hk, (int, np.integer))
+                     else pa.string())  # explicit: an empty block would
+            # otherwise infer a null-typed key column and break the union
             return pa.table({
-                key: pa.array([_hk] * len(t)),
+                key: pa.array([_hk] * len(t), type=ktype),
                 order_col: t[order_col],
                 "running": pc.cast(run, pa.int64()),
             })

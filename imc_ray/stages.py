@@ -115,8 +115,12 @@ def _dedup_key_batch(batch: pa.Table) -> pa.Table:
     # uint64 wraparound implements the bias without float promotion.
     with np.errstate(over="ignore"):
         biased = ts.astype(np.uint64) + np.uint64(0x8000000000000000)
-    key = [f"{t:020d}|{f:016x}" for t, f in zip(biased, fp)]
-    return batch.append_column("dkey", pa.array(key, type=pa.string()))
+    # vectorized "%020d|%016x" minting (byte-identical to the former
+    # per-row f-string loop — C printf both ways)
+    key = np.char.add(np.char.mod("%020d|", biased),
+                      np.char.mod("%016x", fp.astype(np.uint64)))
+    return batch.append_column("dkey", pa.array(key.tolist(),
+                                                type=pa.string()))
 
 
 _DEDUP_BROADCAST_MAX_URLS = 10_000_000
@@ -144,11 +148,37 @@ def dedup_pages(ds: ray.data.Dataset,
     # review: the unpinned lineage hashed every page twice and a ckpt-path
     # ds.count() re-executed the source a third time)
     keyed = ds.map_batches(_dedup_key_batch, batch_format="pyarrow").materialize()
-    mins = (
-        keyed.select_columns(["url", "dkey"])
-        .groupby("url")
-        .aggregate(Min("dkey", alias_name="min_dkey"))
-    )
+
+    # per-url min dkey via ONE coarse keyed shuffle + ~B vectorized pandas
+    # in-bucket mins — Ray's grouped Min over corpus-cardinality string keys
+    # was the dedup stage's dominant cost (round 5; same coarse-grouping
+    # policy as the tile/LSH/window buckets).  Bucket count scales with the
+    # row count (free metadata — keyed is pinned).
+    n_rows = keyed.count()
+    B = 1 << int(np.ceil(np.log2(max(256, n_rows // 2_000_000 + 1))))
+
+    def add_ukey(t: pa.Table) -> pa.Table:
+        # per-batch pre-min first: duplicate crawls of a url are usually
+        # adjacent, so this shrinks the shuffle before it happens
+        df = pd.DataFrame({"url": t["url"].to_pandas(),
+                           "dkey": t["dkey"].to_pandas()})
+        m = df.groupby("url", as_index=False, sort=False)["dkey"].min()
+        pk = (pd.util.hash_pandas_object(
+            m["url"], index=False, hash_key="imcray-dedupukey")
+            .to_numpy().astype(np.uint64) & np.uint64(B - 1))
+        return pa.table({
+            "url": pa.array(m["url"].to_numpy(), type=pa.string()),
+            "dkey": pa.array(m["dkey"].to_numpy(), type=pa.string()),
+            "ukey": pa.array(pk.astype(np.int64), type=pa.int64()),
+        })
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("url", as_index=False, sort=False)["dkey"].min()
+        return out.rename(columns={"dkey": "min_dkey"})
+
+    mins = (keyed.select_columns(["url", "dkey"])
+            .map_batches(add_ukey, batch_format="pyarrow")
+            .groupby("ukey").map_groups(bucket_min, batch_format="pandas"))
 
     # route on the keyed row count (free metadata): rows ≥ distinct urls,
     # so this is conservative
@@ -158,9 +188,9 @@ def dedup_pages(ds: ray.data.Dataset,
 
         def keep_first_bcast(batch: pa.Table) -> pa.Table:
             m = ray.get(ref)
-            urls = pd.Index(batch["url"].to_pylist())
+            urls = pd.Index(batch["url"].to_pandas())
             want = m.reindex(urls).to_numpy()
-            keys = np.asarray(batch["dkey"].to_pylist(), dtype=object)
+            keys = batch["dkey"].to_pandas().to_numpy()
             out = batch.filter(pa.array(keys == want))
             return out.drop_columns(["dkey"])
 

@@ -826,7 +826,6 @@ def semantic_dedup_embeddings(sf_dir: str, k: int = 8, iters: int = 4,
         keyed = (cell[:, None].astype(np.int64) << (_N_PLANES + 1)) | buckets
         return pa.table({
             "vec_id": pa.array(np.repeat(vid, len(probes)), type=pa.int64()),
-            "cluster": pa.array(np.repeat(cell, len(probes)).astype(np.int64)),
             "bucket": pa.array(keyed.reshape(-1), type=pa.int64()),
         })
 
@@ -838,18 +837,22 @@ def semantic_dedup_embeddings(sf_dir: str, k: int = 8, iters: int = 4,
         return pd.DataFrame({"a": ids[iu].astype(np.int64),
                              "b": ids[ju].astype(np.int64)})
 
-    from ray.data.aggregate import Min as _Min
-
-    emitted = ds.map_batches(emit, batch_format="pyarrow").materialize()
-    raw = (emitted.select_columns(["vec_id", "bucket"])
+    raw = (ds.map_batches(emit, batch_format="pyarrow")
            .groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
            .materialize())
-    # per-vector cluster labels (every probe row of a vector carries the same
-    # cluster, so a Min over the 13 probe rows recovers the single label)
-    lab = (emitted.select_columns(["vec_id", "cluster"])
-           .groupby("vec_id")
-           .aggregate(_Min("cluster", alias_name="cluster"))
-           .to_pandas())
+
+    # per-vector cluster labels: ONE broadcast-centroid matmul pass (no
+    # shuffle — recovering them from the 13×n probe rows via groupby would
+    # move 13 thin rows per vector for a value each batch computes locally)
+    def label_fn(t: pa.Table) -> pa.Table:
+        c64, _ = ray.get(ref)
+        m = _emb_matrix(t)
+        cell = (_assign_cells(m.astype(np.float64), c64) if len(m)
+                else np.empty(0, dtype=np.int64))
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(cell.astype(np.int64))})
+
+    lab = ds.map_batches(label_fn, batch_format="pyarrow").to_pandas()
     ids = ds.select_columns(["vec_id"])
     if raw.count() == 0:
         comp = graph.components_frame_empty(ids, "vec_id", "dup_group")
