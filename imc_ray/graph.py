@@ -36,11 +36,68 @@ def _exact_label_sum(lab_ds: ray.data.Dataset, col: str) -> int:
     return (int(parts["hi"].sum()) << 31) + int(parts["lo"].sum())
 
 
+def min_label_prop(ei: np.ndarray, ej: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components over edge INDEX arrays: returns
+    ``lab`` (int64, len n) where ``lab[i]`` is the index of the minimum
+    node of i's component.  Indices must come from a node table sorted
+    ascending (``np.unique``), so min-index ≡ min-node-id.
+
+    Hooking (``np.minimum.at`` both directions) + pointer jumping
+    (``lab = lab[lab]`` to fixpoint) — the Shiloach–Vishkin shortcut —
+    converges in O(log n) outer rounds instead of O(component diameter)
+    for plain hooking.  Corridor-shaped cluster graphs are CHAINS
+    (diameter ~ thousands of segments), where plain hooking was measured
+    at ~100 rounds / 13 s on the driver at 600k docs; this runs the same
+    merge in <1 s with bit-identical output (both fixpoints are
+    min-per-component).
+
+    Monotonicity argument: lab starts as identity and only decreases, so
+    lab[i] <= i always, hence lab[lab[i]] <= lab[i] and pointer jumping
+    preserves component membership while strictly shrinking chains."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ei, lab[ej])
+        np.minimum.at(lab, ej, lab[ei])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, old):
+            break
+    return lab
+
+
 DRIVER_DEDUPE_MAX_PAIRS = 5_000_000
 # raw pair sets up to this (thin (a,b) int64 rows, ≤80 MB) dedupe on the
 # driver — one groupby shuffle costs ~1-2 s of aggregator fixed cost that
 # dominates small candidate sets (three dedup queries × 2-4 s at bench
 # scale); larger sets keep the distributed keys-only groupby.
+
+
+def _pointer_jump(lab: ray.data.Dataset, num_partitions: int,
+                  comp_col: str) -> ray.data.Dataset:
+    """One distributed pointer-jump round: comp(node) ← comp(comp(node)).
+
+    Every label value is itself a node of the label table (self edges put
+    every node in ``lab``), so the self-join is total; labels only decrease
+    (comp[k] ≤ k), so the monotone-sum fixpoint certificate is preserved.
+    Jumping halves chain lengths each round, turning the hook-only
+    O(component diameter) round count into O(log diameter) — corridor
+    cluster graphs are chains, where diameter-many join rounds would blow
+    the round budget long before 10^12 rows."""
+
+    jumped = lab.join(lab, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=(comp_col,), right_on=("node",),
+                      left_suffix="", right_suffix="_j")
+    col = comp_col + "_j"
+
+    def take(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], comp_col: t[col]})
+
+    return jumped.map_batches(take, batch_format="pyarrow")
 
 
 def dedupe_pairs(pairs: ray.data.Dataset, a: str = "a", b: str = "b",
@@ -89,7 +146,7 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
            .repartition(rep).materialize())
     prev = None
     converged = False
-    for _ in range(max_rounds + 1):
+    for rnd in range(max_rounds + 1):
         s = _exact_label_sum(lab, "comp")
         if prev is not None and s == prev:
             converged = True
@@ -101,8 +158,14 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
                             left_suffix="_e", right_suffix="_l")
         lab = (prop.groupby("node").aggregate(Min("comp", alias_name="comp"))
                .repartition(rep).materialize())
+        if rnd >= 2:
+            # dup components converge in ≤3 hook rounds — skip the jump's
+            # fixed join cost there; longer (chain) components get
+            # pointer jumping from round 3 ⇒ O(log diameter) total rounds
+            lab = (_pointer_jump(lab, num_partitions, "comp")
+                   .repartition(rep).materialize())
     if not converged:
-        # one hop per round ⇒ rounds needed ≈ component eccentricity; a
+        # with jumping, rounds needed ≈ log2(component diameter) + 3; a
         # silent return here would split long chain components (review r2)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
@@ -151,14 +214,8 @@ def _driver_components(edges_df: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
     y = edges_df[b].to_numpy(dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([x, y]), return_inverse=True)
     ei, ej = inv[: len(x)], inv[len(x):]
-    lab = nodes.copy()
-    while True:
-        old = lab.copy()
-        np.minimum.at(lab, ei, lab[ej])
-        np.minimum.at(lab, ej, lab[ei])
-        if np.array_equal(lab, old):
-            break
-    return pd.DataFrame({"node": nodes, "comp": lab})
+    lab = min_label_prop(ei, ej, len(nodes))
+    return pd.DataFrame({"node": nodes, "comp": nodes[lab]})
 
 
 def _assign_broadcast(ids: ray.data.Dataset, comps_df: pd.DataFrame,

@@ -265,6 +265,23 @@ class TestDedupFamily:
                                        driver_max_edges=0)
         assert got_d.reset_index(drop=True).equals(want.reset_index(drop=True))
 
+    def test_distributed_components_long_chain(self, ray_session):
+        """A chain component whose diameter exceeds max_rounds must still
+        converge: pointer jumping (graph._pointer_jump, round ≥ 3) makes the
+        round count O(log diameter) — hook-only propagation would need
+        diameter-many rounds and raise.  Corridor-shaped cluster graphs ARE
+        chains, so this is the at-scale shape, not a corner case."""
+        import ray.data
+
+        from imc_ray import graph
+
+        n = 64  # hook-only would need ~63 rounds >> max_rounds=10
+        edges = pd.DataFrame({"a": np.arange(n - 1, dtype=np.int64) + 500,
+                              "b": np.arange(1, n, dtype=np.int64) + 500})
+        lab = graph.connected_components(
+            ray.data.from_pandas(edges), max_rounds=10).to_pandas()
+        assert len(lab) == n and (lab["comp"] == 500).all()
+
 
 class TestSimilaritySearch:
     def test_brute_force_matches_numpy_reference(self, ray_session):
