@@ -148,29 +148,67 @@ def dedup_pages(ds: ray.data.Dataset,
     # review: the unpinned lineage hashed every page twice and a ckpt-path
     # ds.count() re-executed the source a third time)
     keyed = ds.map_batches(_dedup_key_batch, batch_format="pyarrow").materialize()
+    n_rows = keyed.count()
 
+    def batch_min(t: pa.Table) -> pa.Table:
+        # per-batch pre-min first: duplicate crawls of a url are usually
+        # adjacent, so this shrinks what leaves the batch
+        df = pd.DataFrame({"url": t["url"].to_pandas(),
+                           "dkey": t["dkey"].to_pandas()})
+        m = df.groupby("url", as_index=False, sort=False)["dkey"].min()
+        return pa.table({
+            "url": pa.array(m["url"].to_numpy(), type=pa.string()),
+            "dkey": pa.array(m["dkey"].to_numpy(), type=pa.string()),
+        })
+
+    # route on the keyed row count (free metadata): rows ≥ distinct urls,
+    # so this is conservative
+    if n_rows <= broadcast_max_urls:
+        # broadcast route: the survivor map fits the driver BY ROUTE
+        # CONTRACT, so the per-batch mins stream straight to the driver and
+        # the final min folds there (min is associative) — no keyed shuffle
+        # at all.  The map broadcasts as SORTED fixed-width numpy arrays +
+        # searchsorted (the assign_labels pattern): numpy buffers ride the
+        # object store zero-copy, where the former pandas-Series broadcast
+        # re-unpickled ~60 B/url of Python strings in every map task
+        # (measured 13.8 s of parallelism-independent shuffle+collect at
+        # 600k docs, round 5).
+        pdf = (keyed.select_columns(["url", "dkey"])
+               .map_batches(batch_min, batch_format="pyarrow").to_pandas())
+        m = pdf.groupby("url", sort=False)["dkey"].min()
+        urls = m.index.to_numpy(dtype="str")
+        dkeys = m.to_numpy(dtype="str")
+        order = np.argsort(urls, kind="stable")
+        ref = ray.put((urls[order], dkeys[order]))
+
+        def keep_first_bcast(batch: pa.Table) -> pa.Table:
+            us, dk = ray.get(ref)
+            if not len(us):
+                return batch.drop_columns(["dkey"])
+            bu = batch["url"].to_numpy().astype(us.dtype)
+            keys = batch["dkey"].to_numpy().astype(dk.dtype)
+            pos = np.clip(np.searchsorted(us, bu), 0, len(us) - 1)
+            want = (us[pos] == bu) & (dk[pos] == keys)
+            out = batch.filter(pa.array(want))
+            return out.drop_columns(["dkey"])
+
+        return keyed.map_batches(keep_first_bcast, batch_format="pyarrow")
+
+    # join route (> broadcast_max_urls distinct urls — the 10^12 path):
     # per-url min dkey via ONE coarse keyed shuffle + ~B vectorized pandas
     # in-bucket mins — Ray's grouped Min over corpus-cardinality string keys
     # was the dedup stage's dominant cost (round 5; same coarse-grouping
     # policy as the tile/LSH/window buckets).  Bucket count scales with the
     # row count (free metadata — keyed is pinned).
-    n_rows = keyed.count()
     B = 1 << int(np.ceil(np.log2(max(256, n_rows // 2_000_000 + 1))))
 
     def add_ukey(t: pa.Table) -> pa.Table:
-        # per-batch pre-min first: duplicate crawls of a url are usually
-        # adjacent, so this shrinks the shuffle before it happens
-        df = pd.DataFrame({"url": t["url"].to_pandas(),
-                           "dkey": t["dkey"].to_pandas()})
-        m = df.groupby("url", as_index=False, sort=False)["dkey"].min()
+        m = batch_min(t)
         pk = (pd.util.hash_pandas_object(
-            m["url"], index=False, hash_key="imcray-dedupukey")
+            m["url"].to_pandas(), index=False, hash_key="imcray-dedupukey")
             .to_numpy().astype(np.uint64) & np.uint64(B - 1))
-        return pa.table({
-            "url": pa.array(m["url"].to_numpy(), type=pa.string()),
-            "dkey": pa.array(m["dkey"].to_numpy(), type=pa.string()),
-            "ukey": pa.array(pk.astype(np.int64), type=pa.int64()),
-        })
+        return m.append_column("ukey", pa.array(pk.astype(np.int64),
+                                                type=pa.int64()))
 
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("url", as_index=False, sort=False)["dkey"].min()
@@ -179,22 +217,6 @@ def dedup_pages(ds: ray.data.Dataset,
     mins = (keyed.select_columns(["url", "dkey"])
             .map_batches(add_ukey, batch_format="pyarrow")
             .groupby("ukey").map_groups(bucket_min, batch_format="pandas"))
-
-    # route on the keyed row count (free metadata): rows ≥ distinct urls,
-    # so this is conservative
-    if keyed.count() <= broadcast_max_urls:
-        min_map = mins.to_pandas().set_index("url")["min_dkey"]
-        ref = ray.put(min_map)
-
-        def keep_first_bcast(batch: pa.Table) -> pa.Table:
-            m = ray.get(ref)
-            urls = pd.Index(batch["url"].to_pandas())
-            want = m.reindex(urls).to_numpy()
-            keys = batch["dkey"].to_pandas().to_numpy()
-            out = batch.filter(pa.array(keys == want))
-            return out.drop_columns(["dkey"])
-
-        return keyed.map_batches(keep_first_bcast, batch_format="pyarrow")
 
     joined = keyed.join(mins, join_type="inner",
                         num_partitions=num_partitions or join_partitions(),
@@ -1312,15 +1334,43 @@ def build_polygons(reps: ray.data.Dataset,
 # A4 occupancy tiles — partial aggregation before the shuffle
 # ---------------------------------------------------------------------------
 
+_OCC_DRIVER_MAX_PARTIALS = 32_000_000
+# partial rows are two int64s (16 B); ≤ 32M of them (≈512 MB worst-case,
+# usually far less after per-batch pre-aggregation) fold on the driver with
+# one vectorized groupby-sum instead of paying a keyed shuffle's
+# parallelism-independent scheduling latency (measured ~10 s at 600k docs,
+# round 5).  Above the bound the coarse-bucket shuffle is the 10^12 path.
+
+
 def _occupancy_from_partials(rows: ray.data.Dataset,
                              n_rows_hint: int | None = None
                              ) -> ray.data.Dataset:
-    """(tile_id, n) partial rows → (tile_id, occupancy) totals via ONE
-    coarse-bucket keyed shuffle + ~B vectorized pandas in-bucket sums —
-    measured 7× faster than Ray's grouped ``Sum`` on the same 4.8M-row
-    input at 600k docs (round 5; the same coarse-grouping policy as the
-    LSH / window-engine buckets).  B scales with the partial-row count so
-    per-bucket fan-in stays bounded at any corpus size."""
+    """(tile_id, n) partial rows → (tile_id, occupancy) totals.
+
+    Routed like the dedup survivor map and the k-means reduction: when the
+    partial-row bound is known and small (``n_rows_hint`` — free metadata
+    from a pinned upstream), the thin partials stream to the driver and sum
+    there (associative; identical totals — asserted by the route-equality
+    test).  Otherwise ONE coarse-bucket keyed shuffle + ~B vectorized
+    pandas in-bucket sums — measured 7× faster than Ray's grouped ``Sum``
+    on the same 4.8M-row input at 600k docs (round 5; the same
+    coarse-grouping policy as the LSH / window-engine buckets).  B scales
+    with the partial-row count so per-bucket fan-in stays bounded at any
+    corpus size."""
+    if n_rows_hint is not None and n_rows_hint <= _OCC_DRIVER_MAX_PARTIALS:
+        pdf = rows.to_pandas()
+        if len(pdf) == 0:
+            # an all-empty corpus can reach the driver as a column-less
+            # frame — rebuild the schema explicitly
+            pdf = pd.DataFrame({"tile_id": pd.Series(dtype="int64"),
+                                "n": pd.Series(dtype="int64")})
+        out = (pdf.groupby("tile_id", as_index=False, sort=False)["n"].sum()
+               .rename(columns={"n": "occupancy"}))
+        # split the driver frame back into blocks so downstream map stages
+        # (tile decode, the spatial-join actor pool) keep their parallelism
+        k = max(1, min(64, len(out) // 4096 + 1))
+        return ray.data.from_pandas(np.array_split(out, k))
+
     want = max(256, (n_rows_hint or 0) // 2_000_000 + 1)
     B = 1 << int(np.ceil(np.log2(want)))
 
